@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over `embeddings(vec_id, embedding array<float>,
+  * label)`:
+  *   - [[bruteForceTopK]] — exact cosine top-k, the correctness baseline.
+  *     Dot products via `zip_with`+`aggregate` higher-order functions (no
+  *     UDF). Quadratic: only for query subsets / oracles.
+  *   - [[lshTopK]] — random-hyperplane LSH bucketing: candidates share a
+  *     sign-pattern bucket in at least one of `tables` hash tables, exact
+  *     re-rank inside buckets. The scale path: cost ∝ bucket sizes.
+  *   - [[ivfTopK]] — IVF flavour: coarse centroids from a deterministic
+  *     sample (driver k-means), probe `nprobe` nearest lists.
+  */
+object Ann {
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: org.apache.spark.sql.Column) =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Exact cosine top-k neighbors for the query set (default: all rows with
+    * vid < nQueries). Rounded similarity + vec_id tie-break for determinism.
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
+                     nQueries: Int = 10, roundTo: Int = 3): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val sims = q.join(e.filter(col("vec_id") >= lit(0)), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (norm(col("qv")) * norm(col("embedding"))), roundTo).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("bigint").as("rnk"),
+        col("vec_id").as("neighbor"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH: `bits`-bit sign bucket per table; union of
+    * per-table buckets forms the candidate set, re-ranked exactly.
+    */
+  def lshTopK(embeddings: DataFrame, dim: Int, k: Int = 5, nQueries: Int = 10,
+              bits: Int = 8, tables: Int = 4, seed: Long = 42L,
+              roundTo: Int = 3): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(tables, bits, dim)(rng.nextGaussian())
+    def bucket(t: Int) = (0 until bits).map { b =>
+      val plane = array(planes(t)(b).map(lit): _*)
+      when(dot(col("embedding"), plane) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val buckets = e.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(bucket): _*)))
+      .select(col("vec_id"), col("embedding"), col("pos").as("table"),
+        col("col").as("bucket"))
+    val q = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("table"), col("bucket"))
+    val cand = q.join(buckets, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id"), col("embedding"))
+      .distinct()
+    val sims = cand.select(col("qid"), col("vec_id"),
+      round(dot(col("qv"), col("embedding")) /
+        (norm(col("qv")) * norm(col("embedding"))), roundTo).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("bigint").as("rnk"),
+        col("vec_id").as("neighbor"), col("cosine"))
+  }
+
+  /** IVF: driver-side k-means on a deterministic sample (Lloyd, fixed
+    * iterations, seeded init) → broadcast centroids → assign each vector to
+    * its nearest list → queries probe the `nprobe` nearest lists, exact
+    * re-rank inside.
+    */
+  def ivfTopK(spark: SparkSession, embeddings: DataFrame, dim: Int,
+              nLists: Int = 16, nprobe: Int = 4, k: Int = 5,
+              nQueries: Int = 10, sampleN: Int = 1000, seed: Long = 42L,
+              roundTo: Int = 3): DataFrame = {
+    import scala.collection.mutable
+    val sample = embeddings.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleN)
+      .collect().map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val kk = math.min(nLists, sample.length)
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.indices.toList).take(kk)
+      .map(sample).toArray
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      for (c <- cs.indices) {
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }
+      }
+      best
+    }
+    for (_ <- 1 to 10) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Int](kk)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        cnts(c) += 1
+        for (i <- 0 until dim) sums(c)(i) += v(i)
+      }
+      centroids = Array.tabulate(kk)(c =>
+        if (cnts(c) == 0) centroids(c)
+        else sums(c).map(_ / cnts(c)))
+    }
+    val centDf = spark.createDataFrame(
+      centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    ).toDF("list_id", "centroid")
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    def sqdist = aggregate(zip_with(col("embedding"), col("centroid"),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("list_id"))
+    val assigned = e.crossJoin(broadcast(centDf))
+      .withColumn("d", sqdist)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+    val qProbe = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(centDf))
+      .withColumn("d", sqdist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d"), col("list_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("list_id"))
+    val sims = qProbe.join(assigned, "list_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (norm(col("qv")) * norm(col("embedding"))), roundTo).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("bigint").as("rnk"),
+        col("vec_id").as("neighbor"), col("cosine"))
+  }
+}

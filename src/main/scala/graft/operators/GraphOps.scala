@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core graph primitives over the canonical undirected edge table
+  * `edges(src bigint, dst bigint, wgt bigint)` with `src < dst`.
+  *
+  * The reference's CSR graph invariants (check_graph,
+  * reference src/check.c:303-414: symmetry, weight totals, no self-loops)
+  * become DataFrame checks here; its edge-balanced block-cyclic placement
+  * (S_par_distribute_blockcyclic, reference src/graph.c:1369-1454) becomes
+  * [[edgeBalancedRanges]] — the skew-aware placement the north rule demands.
+  */
+object GraphOps {
+
+  /** Directed symmetric view: each undirected edge appears both ways.
+    * This is the join-ready adjacency (reference CSR stores both directions
+    * too — symmetric adjncy, src/check.c:342-390).
+    */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("wgt"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("wgt")))
+
+  /** Per-vertex degree and weighted degree (A8/F3 analogue). */
+  def degrees(edges: DataFrame): DataFrame =
+    symmetrize(edges).groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).as("deg"), sum(col("wgt")).as("wdeg"))
+
+  /** Vertex set present in the edge table. */
+  def edgeVertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("vid"))
+      .unionByName(edges.select(col("dst").as("vid"))).distinct()
+
+  /** Degree-0 island filter (reference par_graph_removeislands,
+    * src/graph.c:3104-3269): split `vertices` into (connected, islands).
+    */
+  def splitIslands(vertices: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
+    val touched = edgeVertices(edges)
+    (vertices.join(touched, "vid"),
+     vertices.join(touched, Seq("vid"), "left_anti"))
+  }
+
+  /** Edge-balanced range boundaries (reference P1): split the vid domain so
+    * each of `numRanges` contiguous vid ranges carries ≈ equal *edges*, via
+    * a degree cumulative sum. Returns the ordered upper-bound vids.
+    * At cluster scale the cumulative window runs over the (small) per-vertex
+    * degree table, not the edge table.
+    */
+  def edgeBalancedRanges(edges: DataFrame, numRanges: Int): Array[Long] = {
+    val deg = degrees(edges)
+    val total = deg.agg(sum(col("deg"))).head().getLong(0)
+    val quota = math.max(1L, total / numRanges)
+    val w = Window.orderBy(col("vid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = deg
+      .withColumn("cum", sum(col("deg")).over(w))
+      .withColumn("rangeId", least(floor((col("cum") - 1) / quota),
+        lit((numRanges - 1).toLong)))
+      .groupBy(col("rangeId")).agg(max(col("vid")).as("hi"))
+      .orderBy(col("rangeId")).collect().map(_.getLong(1))
+    bounds
+  }
+
+  /** rangeId column for a vid under [[edgeBalancedRanges]] boundaries
+    * (binary search over the broadcast-small boundary array, expressed as
+    * the count of boundaries strictly below vid).
+    */
+  def rangeIdFor(vidCol: Column, bounds: Array[Long]): Column =
+    bounds.zipWithIndex.foldRight(lit(bounds.length - 1)) {
+      case ((hi, i), elseCol) => when(vidCol <= hi, lit(i)).otherwise(elseCol)
+    }
+
+  /** Edge-cut of an assignment (reference A4, graph_cut
+    * src/graph.c:2030-2089): Σ wgt over edges whose endpoints land in
+    * different parts. Canonical edges are unique so no halving needed.
+    */
+  def edgeCut(edges: DataFrame, assign: DataFrame): Long = {
+    val a = assign.select(col("vid"), col("part"))
+    val cut = edges
+      .join(a.withColumnRenamed("vid", "src").withColumnRenamed("part", "sp"), "src")
+      .join(a.withColumnRenamed("vid", "dst").withColumnRenamed("part", "dp"), "dst")
+      .filter(col("sp") =!= col("dp"))
+      .agg(coalesce(sum(col("wgt")), lit(0L))).head().getLong(0)
+    cut
+  }
+
+  /** Partition weights + imbalance (reference A3/A7, graph_imbalance
+    * src/graph.c:1975-2000): max_p pwgt(p) / (tvwgt/nparts).
+    */
+  def imbalance(assign: DataFrame, vertexWgt: DataFrame, nparts: Int): Double = {
+    val pw = assign.join(vertexWgt, "vid")
+      .groupBy(col("part")).agg(sum(col("vwgt")).as("pwgt"))
+    val rows = pw.agg(max(col("pwgt")).as("mx"), sum(col("pwgt")).as("tot")).head()
+    val (mx, tot) = (rows.getLong(0), rows.getLong(1))
+    mx.toDouble * nparts / tot.toDouble
+  }
+
+  /** Communication volume (reference A5, S_ser_calc_comvol
+    * src/partition.c:101-144): Σ_v #distinct external parts adjacent to v.
+    */
+  def commVolume(edges: DataFrame, assign: DataFrame): Long = {
+    val a = assign.select(col("vid"), col("part"))
+    symmetrize(edges)
+      .join(a.withColumnRenamed("vid", "src").withColumnRenamed("part", "sp"), "src")
+      .join(a.withColumnRenamed("vid", "dst").withColumnRenamed("part", "dp"), "dst")
+      .filter(col("sp") =!= col("dp"))
+      .groupBy(col("src")).agg(countDistinct(col("dp")).as("ext"))
+      .agg(coalesce(sum(col("ext")), lit(0L))).head().getLong(0)
+  }
+}
