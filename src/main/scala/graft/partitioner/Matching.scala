@@ -32,9 +32,10 @@ object Matching {
     var unmatched = vw.join(deg, Seq("vid"), "left")
       .select(col("vid"), col("vwgt"), coalesce(col("deg"), lit(0L)).as("deg"))
       .persist()
-    var pairs = unmatched.sparkSession.emptyDataFrame
-      .withColumn("u", lit(0L)).withColumn("v", lit(0L))
-      .limit(0).select(col("u"), col("v"))
+    // typed empty seed (a zero-column emptyDataFrame + withColumn trips
+    // Catalyst's Union constraint rewrite in Spark 4)
+    var pairs = unmatched.sparkSession
+      .createDataFrame(Seq.empty[(Long, Long)]).toDF("u", "v")
     val sym = GraphOps.symmetrize(edges).persist()
 
     for (_ <- 1 to rounds) {
@@ -58,7 +59,7 @@ object Matching {
           col("a.partner") === col("b.u") && col("b.partner") === col("a.u"))
         .filter(col("a.u") < col("a.partner"))
         .select(col("a.u").as("u"), col("a.partner").as("v"))
-      pairs = pairs.unionByName(mutual).localCheckpoint(true)
+      pairs = graft.plans.Plans.checkpoint(pairs.unionByName(mutual))
       val matchedVids = pairs.select(col("u").as("vid"))
         .unionByName(pairs.select(col("v").as("vid")))
       val nextUnmatched = unmatched.join(matchedVids, Seq("vid"), "left_anti")
@@ -70,7 +71,7 @@ object Matching {
     val matchedMap = pairs.select(col("u").as("vid"), col("u").as("coarse"))
       .unionByName(pairs.select(col("v").as("vid"), col("u").as("coarse")))
     val selfMap = unmatched.select(col("vid"), col("vid").as("coarse"))
-    val out = matchedMap.unionByName(selfMap).localCheckpoint(true)
+    val out = graft.plans.Plans.checkpoint(matchedMap.unionByName(selfMap))
     sym.unpersist(); unmatched.unpersist()
     out
   }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Csr, GraphOps, PageRank}
+
+/** PageRank vs the dense in-JVM power-iteration oracle — the north-rule bar
+  * is allclose 1e-6 per vertex (BASELINE.json).
+  */
+class PageRankSpec extends SparkSpec {
+
+  private def collectRanks(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.select(col("vid"), col("rank")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def assertClose(got: Map[Long, Double], want: Map[Long, Double],
+                          tol: Double = 1e-6): Unit = {
+    assert(got.keySet == want.keySet, "vertex sets differ")
+    for ((v, w) <- want)
+      assert(math.abs(got(v) - w) <= tol, s"vid=$v got=${got(v)} want=$w")
+  }
+
+  private val cases = Seq(
+    "path8" -> Fixtures.path8, "cycle9" -> Fixtures.cycle9,
+    "star17" -> Fixtures.star17, "twoCliques" -> Fixtures.twoCliques,
+    "grid4x4" -> Fixtures.grid4x4, "zipf200" -> Fixtures.zipf(200))
+
+  test("fixedIterations matches dense oracle to 1e-6 on all fixtures") {
+    for ((name, e) <- cases) {
+      val verts = Fixtures.vertsOf(e)
+      val got = collectRanks(
+        PageRank.fixedIterations(edgesDf(e), vertsDf(verts), 0.85, 8))
+      val want = Oracles.pageRank(e, verts, 0.85, 8)
+      assertClose(got, want)
+      assert(math.abs(got.values.sum - 1.0) < 1e-6, s"$name ranks must sum to 1")
+    }
+  }
+
+  test("run() with isolated vertices redistributes dangling mass and sums to 1") {
+    val (e, verts) = Fixtures.withIslands(100)
+    val res = PageRank.run(spark, edgesDf(e), vertsDf(verts),
+      damping = 0.85, maxIter = 12, tol = 0.0)
+    val got = collectRanks(res.ranks)
+    val want = Oracles.pageRank(e, verts, 0.85, 12, dangling = true)
+    assertClose(got, want)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(res.iterations == 12)
+  }
+
+  test("run() converges under tol and reports a small residual") {
+    val e = Fixtures.twoCliques
+    val res = PageRank.run(spark, edgesDf(e), vertsDf(Fixtures.vertsOf(e)),
+      maxIter = 100, tol = 1e-10)
+    assert(res.residual <= 1e-10)
+    assert(res.iterations < 100, "should converge well before maxIter")
+  }
+
+  test("CSR-kernel PageRank matches the DataFrame path to 1e-6") {
+    val e = Fixtures.zipf(200)
+    val verts = Fixtures.vertsOf(e)
+    val bounds = GraphOps.edgeBalancedRanges(edgesDf(e), 4)
+    val got = collectRanks(
+      Csr.pageRank(spark, Csr.build(spark, edgesDf(e), bounds),
+        vertsDf(verts), 0.85, 8))
+    val want = Oracles.pageRank(e, verts, 0.85, 8)
+    assertClose(got, want)
+  }
+}
