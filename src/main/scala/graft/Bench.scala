@@ -37,8 +37,8 @@ object Bench {
     val scaling =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) "null"
       else {
-        val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "400000").toLong
-        val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "8").toInt
+        val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "2000000").toLong
+        val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "6").toInt
         try {
           val (lo, hi, eff) = Scaling.pair(nConv = nConv, iters = iters)
           Scaling.json(lo, hi, eff)

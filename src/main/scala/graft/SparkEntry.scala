@@ -79,11 +79,19 @@ object SparkEntry {
           EventsGraph.vertices(s, d), 0.85, 5)
         .select(col("vid"), round(col("rank"), 9).as("rank"))),
     "q_pagerank_csr" -> { (s, d) =>
+      // edge-granular balanced blocks (hub-splitting, P15): identical PR
+      // result as the vid-range layout, same oracle
       val e = EventsGraph.edges(s, d)
-      val bounds = GraphOps.edgeBalancedRanges(e, NumRanges)
-      Csr.pageRank(s, Csr.build(s, e, bounds), EventsGraph.vertices(s, d),
-          0.85, 5)
+      Csr.pageRank(s, Csr.buildBalanced(s, e, NumRanges),
+          EventsGraph.vertices(s, d), 0.85, 5)
         .select(col("vid"), round(col("rank"), 6).as("rank"))
+    },
+    "q_csr_edge_stats" -> { (s, d) =>
+      val e = EventsGraph.edges(s, d)
+      Csr.stats(s, Csr.buildBalanced(s, e, NumRanges))
+        .select(col("block_id").cast("bigint").as("block_id"),
+          col("nvtxs").cast("bigint").as("nvtxs"),
+          col("nedges").cast("bigint").as("nedges"))
     },
     "q_cc_hashmin" -> ((s, d) =>
       ConnectedComponents.hashMinIterations(EventsGraph.edges(s, d),
@@ -112,16 +120,19 @@ object SparkEntry {
     },
     // ---- multilevel partitioner (north rule item 3) — rows-only gate;
     //      cut/balance quality is asserted in ScalaTest vs a serial oracle
+    // coarsenTo0=60 forces the full V-cycle (matching -> contraction ->
+    // projection -> refinement) even on the small sf dirs, so the driver
+    // gate exercises the coarsening path, not just init+refine
     "q_partition_kway" -> { (s, d) =>
       val e = EventsGraph.edges(s, d)
       val v = EventsGraph.vertices(s, d).withColumn("vwgt", lit(1L))
-      graft.partitioner.Multilevel.partition(s, e, v, 4).assign
+      graft.partitioner.Multilevel.partition(s, e, v, 4, coarsenTo0 = 60).assign
         .select(col("vid"), col("part").cast("bigint").as("part"))
     },
     "q_partition_quality" -> { (s, d) =>
       val e = EventsGraph.edges(s, d)
       val v = EventsGraph.vertices(s, d).withColumn("vwgt", lit(1L))
-      val r = graft.partitioner.Multilevel.partition(s, e, v, 4)
+      val r = graft.partitioner.Multilevel.partition(s, e, v, 4, coarsenTo0 = 60)
       val n = v.count()
       // integrality allowance: with n/k vertices per part, one extra unit-
       // weight vertex costs k/n of imbalance — tiny graphs can't hit 1.03
@@ -213,6 +224,22 @@ object SparkEntry {
          |GROUP BY r.range_id ORDER BY block_id""".stripMargin,
     "q_pagerank" -> PageRank.oracleSql(EC, VC, 0.85, 5, 9),
     "q_pagerank_csr" -> PageRank.oracleSql(EC, VC, 0.85, 5, 6),
+    "q_csr_edge_stats" ->
+      s"""WITH e_canon AS ($EC),
+         |sym AS (SELECT src, dst, wgt FROM e_canon UNION ALL SELECT dst, src, wgt FROM e_canon),
+         |deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+         |tot AS (SELECT CAST(SUM(deg) AS BIGINT) AS t FROM deg),
+         |q AS (SELECT GREATEST(1, (t + $NumRanges - 1) // $NumRanges) AS quota FROM tot),
+         |offs AS (SELECT vid, COALESCE(SUM(deg) OVER (ORDER BY vid
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM deg),
+         |blk AS (
+         |  SELECT s.src, LEAST((o.off + ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY s.dst) - 1)
+         |           // (SELECT quota FROM q), ${NumRanges - 1}) AS block_id
+         |  FROM sym s JOIN offs o ON s.src = o.vid)
+         |SELECT CAST(block_id AS BIGINT) AS block_id,
+         |       CAST(COUNT(DISTINCT src) AS BIGINT) AS nvtxs,
+         |       CAST(COUNT(*) AS BIGINT) AS nedges
+         |FROM blk GROUP BY block_id ORDER BY block_id""".stripMargin,
     "q_cc_hashmin" -> ConnectedComponents.hashMinOracleSql(EC, VC, 10),
     "q_cc" ->
       s"""WITH RECURSIVE e_canon AS ($EC),

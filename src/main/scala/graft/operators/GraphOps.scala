@@ -63,6 +63,42 @@ object GraphOps {
     bounds
   }
 
+  /** Edge-granular balanced block assignment (the reference's edge-balanced
+    * block-cyclic distribution P1, S_par_distribute_blockcyclic
+    * src/graph.c:1369-1454, at *edge* granularity): every directed adjacency
+    * entry gets a global position `off(src) + rank-within-src` (degree
+    * exclusive prefix sum + per-src row_number — the A11 prefix-sum
+    * analogue), and blockId = position / quota. Unlike vid-range blocks this
+    * SPLITS power-law hub vertices across blocks, so no block (task) can
+    * exceed quota + 1 edges — the skew-proof placement for the analytics
+    * kernels (north rule P15).
+    *
+    * The vid-ordered prefix window runs over the per-vertex degree table
+    * (|V| rows, not |E|); for >10^8-vertex graphs swap it for the bucketed
+    * two-phase prefix sum used in EdgeDeriver.vertices.
+    *
+    * Returns the symmetrized adjacency with a `blockId` column.
+    */
+  def edgeBalancedSym(edges: DataFrame, numBlocks: Int): DataFrame = {
+    val sym = symmetrize(edges)
+    val deg = degrees(edges).select(col("vid"), col("deg"))
+    val total = deg.agg(sum(col("deg"))).head().getLong(0)
+    val quota = math.max(1L, (total + numBlocks - 1) / numBlocks)
+    val wOff = Window.orderBy(col("vid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = deg
+      .withColumn("off", coalesce(sum(col("deg")).over(wOff), lit(0L)))
+      .select(col("vid").as("src"), col("off"))
+    val wRn = Window.partitionBy(col("src")).orderBy(col("dst"))
+    sym
+      .withColumn("rn", row_number().over(wRn) - 1)
+      .join(offs, "src")
+      .withColumn("blockId",
+        least(floor((col("off") + col("rn")) / quota),
+          lit((numBlocks - 1).toLong)).cast("int"))
+      .select(col("blockId"), col("src"), col("dst"), col("wgt"))
+  }
+
   /** rangeId column for a vid under [[edgeBalancedRanges]] boundaries
     * (binary search over the broadcast-small boundary array, expressed as
     * the count of boundaries strictly below vid).

@@ -62,10 +62,13 @@ object Multilevel {
     }
 
     // initial partition on the coarsest graph, driver-side best-of-8
+    // sorted: collect() row order is shuffle-fetch-order dependent, and the
+    // serial solver's BFS visits neighbors in adjacency insertion order —
+    // unsorted input would make the result run-dependent
     val eArr = edges.select(col("src"), col("dst"), col("wgt")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
     val vArr = vertices.select(col("vid"), col("vwgt")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val g = InitialPartition.fromEdges(eArr, vArr)
     val where0 = InitialPartition.partition(g, k, ubFactor, 8, seed)
     var assign = spark.createDataFrame(

@@ -100,4 +100,24 @@ class GraphOpsSpec extends SparkSpec {
     }.toSet
     assert(dir.forall { case (u, v) => dir((v, u)) })
   }
+
+  test("edge-granular CSR blocks: quota-bounded, hubs split (P15)") {
+    val e = Fixtures.star17 // hub 0 has degree 16
+    val numBlocks = 4
+    val blocks = Csr.buildBalanced(spark, edgesDf(e), numBlocks).collect()
+    val total = blocks.map(_.nedges.toLong).sum
+    assert(total == 2L * e.size)
+    val quota = (2L * e.size + numBlocks - 1) / numBlocks // = 8
+    assert(blocks.forall(_.nedges <= quota),
+      "no block may exceed the edge quota — the skew-proof property")
+    // the hub's adjacency is split across >= 2 blocks
+    val hubBlocks = blocks.filter(_.vids.contains(0L)).map(_.blockId).distinct
+    assert(hubBlocks.length >= 2, s"hub must be split, got $hubBlocks")
+    // per-vertex adjacency is conserved across the split
+    val hubDeg = blocks.flatMap { b =>
+      b.vids.indices.filter(i => b.vids(i) == 0L)
+        .map(i => b.xadj(i + 1) - b.xadj(i))
+    }.sum
+    assert(hubDeg == 16)
+  }
 }

@@ -54,14 +54,17 @@ class PageRankSpec extends SparkSpec {
     assert(res.iterations < 100, "should converge well before maxIter")
   }
 
-  test("CSR-kernel PageRank matches the DataFrame path to 1e-6") {
+  test("CSR-kernel PageRank matches the dense oracle on both block layouts") {
     val e = Fixtures.zipf(200)
-    val verts = Fixtures.vertsOf(e)
-    val bounds = GraphOps.edgeBalancedRanges(edgesDf(e), 4)
-    val got = collectRanks(
-      Csr.pageRank(spark, Csr.build(spark, edgesDf(e), bounds),
-        vertsDf(verts), 0.85, 8))
+    val verts = Fixtures.vertsOf(e) :+ 9999L // incl. an isolated vertex
     val want = Oracles.pageRank(e, verts, 0.85, 8)
-    assertClose(got, want)
+    val bounds = GraphOps.edgeBalancedRanges(edgesDf(e), 4)
+    assertClose(collectRanks(
+      Csr.pageRank(spark, Csr.build(spark, edgesDf(e), bounds),
+        vertsDf(verts), 0.85, 8)), want)
+    // edge-granular layout splits hubs but must compute the same function
+    assertClose(collectRanks(
+      Csr.pageRank(spark, Csr.buildBalanced(spark, edgesDf(e), 4),
+        vertsDf(verts), 0.85, 8)), want)
   }
 }
