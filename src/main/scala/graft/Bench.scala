@@ -1,19 +1,36 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Per-round benchmark (driver contract: ONE JSON line on stdout).
   *
   * Sections:
   *   - `queries`: wall seconds per SparkEntry query on SPARK_GRAFT_SF_DIR
-  *     at local[SPARK_GRAFT_CPUS];
+  *     at local[SPARK_GRAFT_CPUS]. Each query is forced with a value-
+  *     consuming aggregate (bit_xor of a row hash over ALL columns) — a
+  *     bare count() lets Catalyst prune computed columns and understate
+  *     the work (NOTES.md);
   *   - `scaling`: the north-rule two-parallelism evidence — the identical
   *     PageRank job over a deterministically synthesized transcript graph at
-  *     local[8] vs local[32], with throughput at both and the efficiency
-  *     (target >= 0.8; see [[Scaling]]). Skippable via
+  *     local[8] vs local[32], each level in a FRESH JVM ([[Scaling.pairForked]];
+  *     a second SparkSession in one JVM measured up to 4x slower), with
+  *     throughput at both and the efficiency (target >= 0.8). Skippable via
   *     SPARK_GRAFT_SKIP_SCALING=1 for quick iteration.
   */
 object Bench {
+
+  /** JSON string escape for embedding error messages. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,7 +43,14 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        val df = fn(spark, sfDir)
+        // force every column's VALUES, not just row existence
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).head()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -37,12 +61,15 @@ object Bench {
     val scaling =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) "null"
       else {
-        val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "2000000").toLong
+        val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "6000000").toLong
         val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "6").toInt
         try {
-          val (lo, hi, eff) = Scaling.pair(nConv = nConv, iters = iters)
+          val (lo, hi, eff) = Scaling.pairForked(nConv = nConv, iters = iters)
           Scaling.json(lo, hi, eff)
-        } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
+        } catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          s"""{"error":"${jsonEscape(msg)}"}"""
+        }
       }
 
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +

@@ -50,8 +50,11 @@ object Scaling {
     try {
       val ts = Transcripts.synthesize(spark, nConv)
       val dict = EdgeDeriver.vertices(ts)
-      val edges = EdgeDeriver.simpleGraph(EdgeDeriver.edges(ts, dict))
-        .localCheckpoint(true)
+      // Plans.checkpoint, not raw localCheckpoint: the edges feed a Union
+      // (Csr symmetrize) directly above the checkpointed LogicalRDD — the
+      // Spark 4.1 stale-constraint crash shape (NOTES.md)
+      val edges = graft.plans.Plans.checkpoint(
+        EdgeDeriver.simpleGraph(EdgeDeriver.edges(ts, dict)))
       val nE = edges.count()
       // the headline operator: PR over edge-granular balanced CSR blocks —
       // hub adjacency split across blocks, so no straggler task (P15);
@@ -60,10 +63,10 @@ object Scaling {
       val st = Csr.prepare(spark, blocks, dict.select(col("vid")),
         numParts = cpus * 2)
       val nV = st.n
-      // lazy loop (checkpointEvery=0): one action executes all iterations —
-      // no per-iteration job-submit/materialization barrier. The action must
-      // consume the rank VALUES (a bare count() of the left join would let
-      // Catalyst prune the whole computation).
+      // Csr.iterate keeps its default checkpointEvery=1 (eager per-iteration
+      // materialization) — NOTES.md measured the all-lazy plan ~2x slower.
+      // The action must consume the rank VALUES (a bare count() of the left
+      // join would let Catalyst prune the whole computation).
       def force(df: org.apache.spark.sql.DataFrame): Double =
         df.agg(sum(col("rank"))).head().getDouble(0)
       force(Csr.iterate(spark, st, 0.85, warmupIters)) // JIT warmup
@@ -83,13 +86,55 @@ object Scaling {
     } finally spark.stop()
   }
 
-  /** Run the pair (cpusLo, cpusHi=4x) and report efficiency =
-    * (thrHi/thrLo) / (cpusHi/cpusLo).
+  /** Run the pair (cpusLo, cpusHi=4x) IN ONE JVM and report efficiency =
+    * (thrHi/thrLo) / (cpusHi/cpusLo). Quick-iteration only: NOTES.md
+    * measured a second SparkSession in the same JVM up to 4x slower —
+    * headline evidence must come from [[pairForked]].
     */
   def pair(cpusLo: Int = 8, cpusHi: Int = 32, nConv: Long = 400000L,
            iters: Int = 8): (RunResult, RunResult, Double) = {
     val lo = run(cpusLo, nConv, iters)
     val hi = run(cpusHi, nConv, iters)
+    val eff = (lo.seconds / hi.seconds) / (cpusHi.toDouble / cpusLo)
+    (lo, hi, eff)
+  }
+
+  /** One measured run in a FRESH JVM (the clean-measurement path): spawn
+    * `java -cp <this classpath> graft.Scaling` with
+    * SPARK_GRAFT_SCALE_CPUS set, inherit this JVM's flags (add-opens, heap),
+    * parse the single-run JSON line. Each parallelism level gets its own
+    * heap/JIT — the in-JVM pair() contaminated the second run by up to 4x.
+    */
+  def runForked(cpus: Int, nConv: Long, iters: Int): RunResult = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.Scaling")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SCALE_CPUS", cpus.toString)
+    pb.environment().put("SPARK_GRAFT_SCALE_CONVS", nConv.toString)
+    pb.environment().put("SPARK_GRAFT_SCALE_ITERS", iters.toString)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    val rc = p.waitFor()
+    require(rc == 0, s"forked scaling run (cpus=$cpus) exited $rc: $out")
+    def field(k: String): String =
+      s""""$k":([0-9.]+)""".r.findFirstMatchIn(out)
+        .getOrElse(sys.error(s"no $k in forked output: $out")).group(1)
+    RunResult(cpus, field("vertices").toLong, field("edges").toLong,
+      field("pr_iters").toInt, field("seconds").toDouble)
+  }
+
+  /** The headline two-parallelism evidence: both levels in fresh JVMs. */
+  def pairForked(cpusLo: Int = 8, cpusHi: Int = 32, nConv: Long,
+                 iters: Int): (RunResult, RunResult, Double) = {
+    val lo = runForked(cpusLo, nConv, iters)
+    val hi = runForked(cpusHi, nConv, iters)
     val eff = (lo.seconds / hi.seconds) / (cpusHi.toDouble / cpusLo)
     (lo, hi, eff)
   }

@@ -29,6 +29,9 @@ object SparkEntry {
   private val EC = EventsGraph.edgesCte
   private val VC = EventsGraph.vertsCte
   private val NumRanges = 8
+  // stop-gram document-frequency cap for the n-gram Jaccard family (baked
+  // into the oracle SQL; see TextOps.ngramJaccardPairs)
+  private val NgramMaxDf = 128
 
   /** Flagship: PageRank over the sf0.001 events-derived link graph. */
   def entry(spark: SparkSession): DataFrame = {
@@ -123,11 +126,24 @@ object SparkEntry {
     // coarsenTo0=60 forces the full V-cycle (matching -> contraction ->
     // projection -> refinement) even on the small sf dirs, so the driver
     // gate exercises the coarsening path, not just init+refine
+    // hard gate: assignment totality (every vertex assigned exactly once)
+    // and part-range validity, both SQL-predictable; cut/balance quality is
+    // asserted in PartitionerSpec vs a serial oracle
     "q_partition_kway" -> { (s, d) =>
       val e = EventsGraph.edges(s, d)
       val v = EventsGraph.vertices(s, d).withColumn("vwgt", lit(1L))
-      graft.partitioner.Multilevel.partition(s, e, v, 4, coarsenTo0 = 60).assign
-        .select(col("vid"), col("part").cast("bigint").as("part"))
+      val assign = graft.partitioner.Multilevel
+        .partition(s, e, v, 4, coarsenTo0 = 60).assign
+      val missing = v.select(col("vid"))
+        .join(assign.select(col("vid")), Seq("vid"), "left_anti").count()
+      assign.agg(
+          count(lit(1)).as("n_assigned"),
+          countDistinct(col("vid")).as("n_distinct"),
+          max(when(col("part") >= 0 && col("part") < 4, 0L).otherwise(1L))
+            .as("out_of_range"))
+        .withColumn("n_missing", lit(missing))
+        .select(col("n_assigned"), col("n_distinct"), col("out_of_range"),
+          col("n_missing"))
     },
     "q_partition_quality" -> { (s, d) =>
       val e = EventsGraph.edges(s, d)
@@ -145,7 +161,9 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => TextOps.tokenStats(docs(s, d))),
     "q_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d))),
     "q_ngram_jaccard" -> ((s, d) =>
-      TextOps.ngramJaccardPairs(docs(s, d), 3, 0.5)),
+      TextOps.ngramJaccardPairs(docs(s, d), 3, 0.5, maxDf = NgramMaxDf)),
+    "q_ngram_df_stats" -> ((s, d) =>
+      TextOps.ngramDfStats(docs(s, d), 3, maxDf = NgramMaxDf)),
     "q_lang_id" -> ((s, d) => TextOps.langId(docs(s, d))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "q_minhash_pairs" -> ((s, d) =>
@@ -269,6 +287,13 @@ object SparkEntry {
       """SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
         |     + (SELECT COUNT(DISTINCT event_type) FROM events) AS n_vertices,
         |     CAST(4 AS BIGINT) AS n_parts, TRUE AS balanced""".stripMargin,
+    "q_partition_kway" ->
+      """WITH n AS (
+        |  SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
+        |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)
+        |SELECT n AS n_assigned, n AS n_distinct,
+        |       CAST(0 AS BIGINT) AS out_of_range,
+        |       CAST(0 AS BIGINT) AS n_missing FROM n""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -290,11 +315,13 @@ object SparkEntry {
         |FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
-      """WITH g AS (
+      s"""WITH g0 AS (
         |  SELECT DISTINCT d.doc_id, SUBSTR(d.text, CAST(u.i AS INT), 3) AS gram
         |  FROM documents d,
         |       UNNEST(GENERATE_SERIES(1, GREATEST(1, LENGTH(d.text) - 2))) AS u(i)
         |  WHERE LENGTH(SUBSTR(d.text, CAST(u.i AS INT), 3)) = 3),
+        |g AS (SELECT * FROM g0 WHERE gram NOT IN (
+        |  SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) > $NgramMaxDf)),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
@@ -306,7 +333,28 @@ object SparkEntry {
         |JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
         |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
+    "q_ngram_df_stats" ->
+      s"""WITH g AS (
+        |  SELECT DISTINCT d.doc_id, SUBSTR(d.text, CAST(u.i AS INT), 3) AS gram
+        |  FROM documents d,
+        |       UNNEST(GENERATE_SERIES(1, GREATEST(1, LENGTH(d.text) - 2))) AS u(i)
+        |  WHERE LENGTH(SUBSTR(d.text, CAST(u.i AS INT), 3)) = 3)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS df,
+        |       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS pairs_cut
+        |FROM g GROUP BY gram HAVING COUNT(*) > $NgramMaxDf
+        |ORDER BY gram""".stripMargin,
     "q_lang_id" -> langIdSql,
+    "q_minhash_pairs" -> NearDup.minhashPairsOracleSql(64, 16, 3, 0.5),
+    "q_simhash" -> NearDup.simhashOracleSql,
+    "q_simhash_pairs" -> NearDup.simhashPairsOracleSql(3),
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  LIST_REDUCE(
+        |    LIST_PREPEND(CAST(0 AS BIGINT),
+        |      LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text)),
+        |        i -> CAST(ASCII(SUBSTR(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sims AS (

@@ -243,8 +243,11 @@ object Csr {
         (lit((1 - damping) / n) +
           lit(damping) * col("contrib")).as("rank"))
       ranks =
+        // Plans.checkpoint, not raw localCheckpoint: a consumer that unions
+        // the returned ranks would hit Spark 4.1's stale-constraint crash
+        // (UnionBase.rewriteConstraints; see Plans.checkpoint scaladoc)
         if (checkpointEvery > 0 && it % checkpointEvery == 0)
-          next.localCheckpoint(true)
+          graft.plans.Plans.checkpoint(next)
         else next
     }
     verts.join(ranks, Seq("vid"), "left")

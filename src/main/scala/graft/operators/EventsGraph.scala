@@ -33,6 +33,12 @@ object EventsGraph {
     val convs = ts.select(col("conv_id").as("key")).distinct()
       .select(substring(col("key"), 6, 8).cast("bigint").as("vid"),
         lit("conv").as("kind"), col("key"))
+    // this SQL-replicable scheme is only sound while conv ids stay below
+    // the tool id base — any dataset with user_id >= ToolBase would
+    // silently alias conv and tool vertices on the trusted gate path
+    val maxConv = convs.agg(max(col("vid"))).head().get(0)
+    require(maxConv == null || maxConv.asInstanceOf[Long] < ToolBase,
+      s"conv vid $maxConv >= ToolBase $ToolBase: id scheme would collide")
     val tools = ts.filter(col("tool").isNotNull)
       .select(col("tool").as("key")).distinct()
       .withColumn("vid",

@@ -42,25 +42,51 @@ object GraphOps {
      vertices.join(touched, Seq("vid"), "left_anti"))
   }
 
+  /** Exact vid-ordered cumulative degree sum WITHOUT a global single-
+    * partition window (the A11 prefix-sum analogue, scale path): contiguous
+    * vid buckets from approximate quantiles (driver-side, `buckets` values —
+    * the boundaries only steer execution, the sums stay exact), per-bucket
+    * ordered window, then exact driver-side prefix sums of the bucket
+    * totals joined back as offsets. Same two-phase pattern as
+    * EdgeDeriver.vertices; replaces the `Window.orderBy(vid)` global window
+    * that funneled the whole |V|-row degree table through one task.
+    * Returns (vid, deg, cum) with cum inclusive.
+    */
+  private[graft] def cumDegByVid(deg: DataFrame, buckets: Int = 64): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bnds = deg.stat.approxQuantile("vid", probs, 0.01)
+      .map(_.toLong).distinct.sorted
+    val bucketCol = bnds.zipWithIndex.foldRight(lit(bnds.length)) {
+      case ((hi, i), e) => when(col("vid") <= hi, lit(i)).otherwise(e)
+    }
+    val withB = deg.withColumn("bkt", bucketCol.cast("int"))
+    val tots = withB.groupBy(col("bkt")).agg(sum(col("deg")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val nB = bnds.length + 1
+    val offs = (0 until nB).scanLeft(0L)((acc, b) => acc + tots.getOrElse(b, 0L))
+    val offsDf = deg.sparkSession.createDataFrame(
+      (0 until nB).map(b => (b, offs(b)))).toDF("bkt", "boff")
+    val w = Window.partitionBy(col("bkt")).orderBy(col("vid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.withColumn("cumLocal", sum(col("deg")).over(w))
+      .join(broadcast(offsDf), "bkt")
+      .select(col("vid"), col("deg"), (col("boff") + col("cumLocal")).as("cum"))
+  }
+
   /** Edge-balanced range boundaries (reference P1): split the vid domain so
     * each of `numRanges` contiguous vid ranges carries ≈ equal *edges*, via
-    * a degree cumulative sum. Returns the ordered upper-bound vids.
-    * At cluster scale the cumulative window runs over the (small) per-vertex
-    * degree table, not the edge table.
+    * the bucketed degree cumulative sum ([[cumDegByVid]]).
+    * Returns the ordered upper-bound vids.
     */
   def edgeBalancedRanges(edges: DataFrame, numRanges: Int): Array[Long] = {
     val deg = degrees(edges)
     val total = deg.agg(sum(col("deg"))).head().getLong(0)
     val quota = math.max(1L, total / numRanges)
-    val w = Window.orderBy(col("vid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bounds = deg
-      .withColumn("cum", sum(col("deg")).over(w))
+    cumDegByVid(deg)
       .withColumn("rangeId", least(floor((col("cum") - 1) / quota),
         lit((numRanges - 1).toLong)))
       .groupBy(col("rangeId")).agg(max(col("vid")).as("hi"))
       .orderBy(col("rangeId")).collect().map(_.getLong(1))
-    bounds
   }
 
   /** Edge-granular balanced block assignment (the reference's edge-balanced
@@ -73,9 +99,9 @@ object GraphOps {
     * exceed quota + 1 edges — the skew-proof placement for the analytics
     * kernels (north rule P15).
     *
-    * The vid-ordered prefix window runs over the per-vertex degree table
-    * (|V| rows, not |E|); for >10^8-vertex graphs swap it for the bucketed
-    * two-phase prefix sum used in EdgeDeriver.vertices.
+    * The vid-ordered prefix runs over the per-vertex degree table (|V|
+    * rows, not |E|) via the bucketed two-phase sum ([[cumDegByVid]]) — no
+    * single-task global window.
     *
     * Returns the symmetrized adjacency with a `blockId` column.
     */
@@ -84,11 +110,8 @@ object GraphOps {
     val deg = degrees(edges).select(col("vid"), col("deg"))
     val total = deg.agg(sum(col("deg"))).head().getLong(0)
     val quota = math.max(1L, (total + numBlocks - 1) / numBlocks)
-    val wOff = Window.orderBy(col("vid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = deg
-      .withColumn("off", coalesce(sum(col("deg")).over(wOff), lit(0L)))
-      .select(col("vid").as("src"), col("off"))
+    val offs = cumDegByVid(deg)
+      .select(col("vid").as("src"), (col("cum") - col("deg")).as("off"))
     val wRn = Window.partitionBy(col("src")).orderBy(col("dst"))
     sym
       .withColumn("rn", row_number().over(wRn) - 1)

@@ -10,22 +10,58 @@ import org.apache.spark.sql.functions._
   * scales to 100 TB because no stage is quadratic in the corpus: work is
   * bounded by bucket collision sizes, and hot buckets are just skewed keys
   * that AQE skew-join splitting handles.
+  *
+  * All hashing is pure integer arithmetic (polynomial rolling hashes under
+  * Mersenne-prime-sized moduli) rather than xxhash64, for two reasons:
+  * (1) every intermediate stays < 2^62, so the arithmetic can't overflow
+  * int64 (Spark 4 runs ANSI mode); (2) the identical function is
+  * expressible in ANSI SQL, so the whole sketch pipeline — signatures,
+  * bands, candidate pairs — is verified value-for-value by the DuckDB
+  * oracle ([[minhashPairsOracleSql]], [[simhashOracleSql]],
+  * [[simhashPairsOracleSql]]).
   */
 object NearDup {
 
-  // Mersenne modulus 2^31-1: a·x + b with a,b,x < P stays under 2^62, so
-  // the hash arithmetic can't overflow int64 (Spark 4 runs ANSI mode)
+  // Mersenne prime 2^31-1 and a second prime just below it: a·x + b with
+  // a,b,x < P stays under 2^62 — ANSI-safe.
   private val P = 2147483647L
+  private val P2 = 2147483629L
 
-  /** Distinct word-`n`-gram shingle hashes per doc (xxhash64 of the joined
-    * shingle, made non-negative).
+  /** SQL text (Spark dialect) of the char-level polynomial rolling hash of
+    * string expression `s`: fold (acc·base + codepoint) mod `mod`.
+    * Lambda vars are prefixed to avoid capturing an outer lambda's `i`.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+  private def charHashSpark(s: String, base: Long, mod: Long): String =
+    s"""aggregate(transform(sequence(1, greatest(1, length($s))),
+       |    ch_i -> CAST(ascii(substring($s, ch_i, 1)) AS BIGINT)),
+       |  CAST(0 AS BIGINT), (ch_a, ch_c) -> (ch_a * $base + ch_c) % $mod)"""
+      .stripMargin
+
+  /** Same hash in DuckDB dialect. */
+  private def charHashDuck(s: String, base: Long, mod: Long): String =
+    s"""LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+       |    LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(1, LENGTH($s))),
+       |      ch_i -> CAST(ASCII(SUBSTR($s, CAST(ch_i AS INT), 1)) AS BIGINT))),
+       |  (ch_a, ch_c) -> (ch_a * $base + ch_c) % $mod)""".stripMargin
+
+  /** Distinct word-`n`-gram shingle hashes per doc: rolling hash of the
+    * space-joined shingle, in [0, P).
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val gram = s"array_join(slice(split(text, ' '), sh_i, $n), ' ')"
     docs.selectExpr("doc_id",
-        s"""explode(array_distinct(transform(
-           |  sequence(1, greatest(1, size(split(text, ' ')) - ${n - 1})),
-           |  i -> abs(xxhash64(array_join(slice(split(text, ' '), i, $n), ' ')))
-           |))) AS sh""".stripMargin)
+      s"""explode(array_distinct(transform(
+         |  sequence(1, greatest(1, size(split(text, ' ')) - ${n - 1})),
+         |  sh_i -> ${charHashSpark(gram, 31, P)}))) AS sh""".stripMargin)
+  }
+
+  private def hashParams(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(math.abs(rng.nextLong()) % (P - 1) + 1)
+    val bs = Array.fill(numHashes)(math.abs(rng.nextLong()) % P)
+    require(as.forall(a => a > 0 && a < P) && bs.forall(b => b >= 0 && b < P))
+    (as, bs)
+  }
 
   /** MinHash signature: `numHashes` permutations h_i(x) = (a_i·x + b_i)
     * mod p, minimum over the doc's shingle set. One aggregate pass:
@@ -34,13 +70,10 @@ object NearDup {
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
                         n: Int = 3, seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val as = Array.fill(numHashes)(math.abs(rng.nextLong()) % (P - 1) + 1)
-    val bs = Array.fill(numHashes)(math.abs(rng.nextLong()) % P)
+    val (as, bs) = hashParams(numHashes, seed)
     val hashArr = array((0 until numHashes).map { i =>
-      pmod(col("sh") % P * lit(as(i)) + lit(bs(i)), lit(P))
+      pmod(col("sh") * lit(as(i)) + lit(bs(i)), lit(P))
     }: _*)
-    require(as.forall(a => a > 0 && a < P) && bs.forall(b => b >= 0 && b < P))
     shingles(docs, n)
       .select(col("doc_id"), hashArr.as("hs"))
       .groupBy(col("doc_id"))
@@ -50,9 +83,11 @@ object NearDup {
   }
 
   /** LSH candidate pairs: split signatures into `bands` bands of
-    * `numHashes/bands` rows; docs sharing any full band collide. Pairs are
-    * then verified with exact signature similarity ≥ `minSim` (estimated
-    * Jaccard). Bucket key = hash(band index, band slice).
+    * `numHashes/bands` rows; docs sharing any full band (exact value
+    * equality, not just a hash bucket — keeps the result set identical to
+    * the SQL oracle's) collide. Pairs are then scored with signature
+    * agreement ≥ `minSim` (estimated Jaccard). The shuffle key is a hash of
+    * the band content; the band arrays are compared exactly on top.
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
                       n: Int = 3, minSim: Double = 0.7,
@@ -63,10 +98,11 @@ object NearDup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("signature"), b * r + 1, lit(r)))))
       .select(col("doc_id"), col("signature"), col("pos").as("band"),
-        xxhash64(col("band"), col("col").cast("string")).as("bucket"))
+        col("col").as("arr"),
+        xxhash64(col("pos"), col("col").cast("string")).as("bucket"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.arr") === col("b.arr") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         col("a.signature").as("s1"), col("b.signature").as("s2"))
       .distinct()
@@ -80,20 +116,70 @@ object NearDup {
     out
   }
 
-  /** 64-bit SimHash: sign-sum of per-token hash bits weighted by term
-    * frequency; near-dups = pairs within `maxHamming`. Banding on 4 16-bit
-    * blocks guarantees recall for hamming ≤ 3 (pigeonhole).
+  /** DuckDB oracle for [[minhashLshPairs]]: identical signatures (same
+    * seeded a/b parameters), all-pairs join restricted to pairs sharing at
+    * least one full band — exactly the LSH candidate predicate, O(n²) only
+    * in the oracle. Output matches (id1, id2, est_jaccard) value-for-value.
     */
+  def minhashPairsOracleSql(numHashes: Int = 64, bands: Int = 16, n: Int = 3,
+                            minSim: Double = 0.7, seed: Long = 42L): String = {
+    val (as, bs) = hashParams(numHashes, seed)
+    val r = numHashes / bands
+    val gram = s"ARRAY_TO_STRING(LIST_SLICE(w, sh_i, sh_i + ${n - 1}), ' ')"
+    val sigCols = (0 until numHashes).map(i =>
+      s"MIN((sh * ${as(i)} + ${bs(i)}) % $P) AS h$i").mkString(",\n    ")
+    val bandEq = (0 until bands).map { b =>
+      (0 until r).map(j => s"a.h${b * r + j} = b.h${b * r + j}")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    val matches = (0 until numHashes)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ws AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, UNNEST(LIST_TRANSFORM(
+       |    GENERATE_SERIES(1, GREATEST(1, LEN(w) - ${n - 1})),
+       |    sh_i -> $gram)) AS g
+       |  FROM ws),
+       |sh0 AS (SELECT DISTINCT doc_id,
+       |    ${charHashDuck("g", 31, P)} AS sh
+       |  FROM grams),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sh0 GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |         ROUND(CAST($matches AS DOUBLE) / $numHashes, 6) AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE $bandEq)
+       |SELECT id1, id2, est_jaccard FROM pairs
+       |WHERE est_jaccard >= $minSim ORDER BY id1, id2""".stripMargin
+  }
+
+  /** 62-bit SimHash: sign-sum of per-token hash bits weighted by term
+    * frequency; near-dups = pairs within `maxHamming`. The 62-bit token
+    * hash is two independent rolling hashes packed as h1 | (h2 << 31)
+    * (< 2^62, ANSI-safe). Banding on 4 16-bit blocks guarantees recall for
+    * hamming ≤ 3 (pigeonhole), so [[simhashPairs]] returns EXACTLY the
+    * all-pairs hamming ≤ 3 set — which is what the oracle computes.
+    */
+  val SimhashBits = 62
+
+  private def tokenHashes62: Column = {
+    val h1 = charHashSpark("t", 31, P)
+    val h2 = charHashSpark("t", 131, P2)
+    expr(s"transform(split(text, ' '), t -> $h1 + ($h2) * ${1L << 31})")
+  }
+
   def simhash(docs: DataFrame): DataFrame = {
-    val tokenHashes = docs.selectExpr("doc_id",
-      "transform(split(text, ' '), t -> xxhash64(t)) AS ths")
+    val tokenH = docs.select(col("doc_id"), tokenHashes62.as("ths"))
     // bit b of simhash = 1 if sum over tokens of (bit set ? +1 : -1) > 0
-    val bitCols = (0 until 64).map { b =>
+    val bitCols = (0 until SimhashBits).map { b =>
       expr(s"""CASE WHEN aggregate(ths, 0,
               |  (acc, h) -> acc + CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0
               |THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END""".stripMargin)
     }
-    tokenHashes.select(col("doc_id"),
+    tokenH.select(col("doc_id"),
       bitCols.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
@@ -113,4 +199,37 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }
+
+  private def simhashDuckCte: String = {
+    val h1 = charHashDuck("t", 31, P)
+    val h2 = charHashDuck("t", 131, P2)
+    val bitTerms = (0 until SimhashBits).map { b =>
+      s"""CASE WHEN LIST_SUM(LIST_TRANSFORM(ths,
+         |    h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END"""
+        .stripMargin
+    }.mkString(" |\n    ")
+    s"""th AS (SELECT doc_id, LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+       |    t -> $h1 + ($h2) * ${1L << 31}) AS ths
+       |  FROM documents),
+       |sim AS (SELECT doc_id,
+       |    $bitTerms AS simhash
+       |  FROM th)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[simhash]]. */
+  def simhashOracleSql: String =
+    s"""WITH $simhashDuckCte
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for [[simhashPairs]]: all-pairs hamming ≤ maxHamming —
+    * identical to the blocked join by the pigeonhole recall guarantee.
+    */
+  def simhashPairsOracleSql(maxHamming: Int = 3): String =
+    s"""WITH $simhashDuckCte
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |       BIT_COUNT(XOR(a.simhash, b.simhash)) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY id1, id2""".stripMargin
 }

@@ -48,17 +48,37 @@ object TextOps {
         round(col("n_repeats").cast("double") / col("n_tokens"), 6))
   }
 
-  /** Character n-gram Jaccard near-duplicate pairs: distinct `n`-grams per
-    * doc, inverted-index join on shared grams (bucketed by gram — no cross
-    * join), |A∩B| from match counts, Jaccard = ∩ / (|A|+|B|−∩) ≥ `minSim`.
+  /** Distinct character `n`-grams per doc (the inverted-index rows). */
+  private def ngramRows(docs: DataFrame, n: Int): DataFrame =
+    docs.selectExpr("doc_id",
+      s"""explode(array_distinct(filter(
+         |  transform(sequence(1, greatest(1, length(text) - ${n - 1})),
+         |            i -> substring(text, i, $n)),
+         |  x -> length(x) = $n))) AS gram""".stripMargin)
+
+  /** Grams above the document-frequency cap (the "stop-grams"). Tiny by
+    * construction (few grams can touch > maxDf docs), so always
+    * broadcastable.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-                        minSim: Double = 0.5): DataFrame = {
-    val g = docs.selectExpr("doc_id",
-        s"""explode(array_distinct(filter(
-           |  transform(sequence(1, greatest(1, length(text) - ${n - 1})),
-           |            i -> substring(text, i, $n)),
-           |  x -> length(x) = $n))) AS gram""".stripMargin)
+  private def hotGrams(g: DataFrame, maxDf: Int): DataFrame =
+    g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
+  /** Character n-gram Jaccard near-duplicate pairs: distinct `n`-grams per
+    * doc, inverted-index join on shared grams, |A∩B| from match counts,
+    * Jaccard = ∩ / (|A|+|B|−∩) ≥ `minSim` — computed over the
+    * *informative* gram space: grams whose document frequency exceeds
+    * `maxDf` are dropped first (standard stop-gram cut). A gram appearing
+    * in df docs contributes df² candidate pairs, so without the cut one
+    * stop-gram ("the", " a ") makes the join quadratic in corpus size; with
+    * it, candidate work is bounded by |grams|·maxDf². The cut is reported,
+    * never silent — see [[ngramDfStats]].
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minSim: Double = 0.5,
+                        maxDf: Int = 128): DataFrame = {
+    val g0 = ngramRows(docs, n)
+    val g = g0.join(broadcast(hotGrams(g0, maxDf).select(col("gram"))),
+      Seq("gram"), "left_anti")
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = g.as("a").join(g.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -73,6 +93,16 @@ object TextOps {
       .filter(col("jaccard") >= minSim)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+
+  /** Audit of the [[ngramJaccardPairs]] stop-gram cut (mirrors
+    * EdgeDeriver.hubStats — truncation is reported, never silent): one row
+    * per dropped gram with its document frequency and the candidate pairs
+    * the cut avoided.
+    */
+  def ngramDfStats(docs: DataFrame, n: Int = 3, maxDf: Int = 128): DataFrame =
+    hotGrams(ngramRows(docs, n), maxDf)
+      .select(col("gram"), col("df"),
+        (col("df") * (col("df") - 1) / 2).cast("bigint").as("pairs_cut"))
 
   /** Language-ID heuristic: score = count of language-marker stopword hits;
     * argmax with deterministic tie-break (marker-count desc, lang asc).

@@ -36,4 +36,27 @@ object Contraction {
       .groupBy(col("coarse").as("vid")).agg(sum(col("vwgt")).as("vwgt"))
     (ce, cv)
   }
+
+  /** Multi-constraint contraction: vertices(vid, vwgts array<bigint>) with
+    * `ncon` entries — coarse vwgts are per-constraint sums (reference
+    * contracts each of the ncon weights, src/contract.c:269).
+    */
+  def contractMC(edges: DataFrame, vertices: DataFrame, cmap: DataFrame,
+                 ncon: Int): (DataFrame, DataFrame) = {
+    val m = cmap.select(col("vid"), col("coarse"))
+    val ce = edges
+      .join(m.withColumnRenamed("vid", "src").withColumnRenamed("coarse", "cs"), "src")
+      .join(m.withColumnRenamed("vid", "dst").withColumnRenamed("coarse", "cd"), "dst")
+      .filter(col("cs") =!= col("cd"))
+      .select(least(col("cs"), col("cd")).as("src"),
+        greatest(col("cs"), col("cd")).as("dst"), col("wgt"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("wgt")).as("wgt"))
+    val sums = (0 until ncon).map(c =>
+      sum(element_at(col("vwgts"), c + 1)).as(s"w$c"))
+    val cv = vertices.join(m, "vid")
+      .groupBy(col("coarse").as("vid")).agg(sums.head, sums.tail: _*)
+      .select(col("vid"),
+        array((0 until ncon).map(c => col(s"w$c")): _*).as("vwgts"))
+    (ce, cv)
+  }
 }

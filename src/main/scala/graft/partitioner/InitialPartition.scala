@@ -14,22 +14,42 @@ import scala.util.Random
   * plain Scala is the serial solver. Greedy graph-growing (BFS region
   * growing from a seed, the GGP scheme serial METIS uses for initial
   * bisection) + one pass of boundary greedy refinement, best-of-N by cut.
+  *
+  * Balance machinery mirrors the reference exactly:
+  *   - multi-constraint weights: `ncon` weights per vertex, flat row-major
+  *     `vwgt(v*ncon+c)` (reference src/graph.h:44,55, vwgt layout
+  *     src/mtmetis_bin.c:524-530) — every balance check quantifies over
+  *     constraints;
+  *   - per-part target fractions `targets` (the reference's tpwgts), so
+  *     recursive bisection can ask for a k1:k2 split;
+  *   - max AND min part-weight bounds: maxwgt/minwgt =
+  *     tpwgts·tvwgt·ubfactor^±1 (reference src/kwayrefine.c:1056-1059) —
+  *     a part may neither overfill nor drain.
   */
 object InitialPartition {
 
-  /** Compact in-driver CSR. */
+  /** Compact in-driver CSR; `vwgt` is flat row-major (v*ncon+c). */
   final case class LocalGraph(vids: Array[Long], xadj: Array[Int],
                               adjncy: Array[Int], adjwgt: Array[Long],
-                              vwgt: Array[Long]) {
+                              vwgt: Array[Long], ncon: Int = 1) {
     def nvtxs: Int = vids.length
+    def w(v: Int, c: Int): Long = vwgt(v * ncon + c)
   }
 
   def fromEdges(edges: Array[(Long, Long, Long)],
-                verts: Array[(Long, Long)]): LocalGraph = {
+                verts: Array[(Long, Long)]): LocalGraph =
+    fromEdgesMC(edges, verts.map { case (v, w) => (v, Array(w)) }, 1)
+
+  /** Multi-constraint constructor: `verts` carries `ncon` weights each. */
+  def fromEdgesMC(edges: Array[(Long, Long, Long)],
+                  verts: Array[(Long, Array[Long])], ncon: Int): LocalGraph = {
     val vids = verts.map(_._1).sorted
     val idx = vids.zipWithIndex.toMap
-    val vwgt = new Array[Long](vids.length)
-    verts.foreach { case (v, w) => vwgt(idx(v)) = w }
+    val vwgt = new Array[Long](vids.length * ncon)
+    verts.foreach { case (v, ws) =>
+      require(ws.length == ncon, s"vertex $v has ${ws.length} weights, ncon=$ncon")
+      System.arraycopy(ws, 0, vwgt, idx(v) * ncon, ncon)
+    }
     val deg = new Array[Int](vids.length)
     edges.foreach { case (s, d, _) => deg(idx(s)) += 1; deg(idx(d)) += 1 }
     val xadj = new Array[Int](vids.length + 1)
@@ -42,7 +62,7 @@ object InitialPartition {
       adjncy(pos(si)) = di; adjwgt(pos(si)) = w; pos(si) += 1
       adjncy(pos(di)) = si; adjwgt(pos(di)) = w; pos(di) += 1
     }
-    LocalGraph(vids, xadj, adjncy, adjwgt, vwgt)
+    LocalGraph(vids, xadj, adjncy, adjwgt, vwgt, ncon)
   }
 
   def cutOf(g: LocalGraph, where: Array[Int]): Long = {
@@ -59,21 +79,66 @@ object InitialPartition {
     cut / 2
   }
 
+  /** Per-constraint totals. */
+  private def totals(g: LocalGraph): Array[Long] = {
+    val t = new Array[Long](g.ncon)
+    var v = 0
+    while (v < g.nvtxs) {
+      var c = 0
+      while (c < g.ncon) { t(c) += g.w(v, c); c += 1 }
+      v += 1
+    }
+    t
+  }
+
+  /** Balance bounds per (part, constraint): maxW/minW =
+    * targets(p)·tvwgt(c)·ub^±1 (reference kwayrefine.c:1056-1059).
+    */
+  private def bounds(g: LocalGraph, k: Int, targets: Array[Double],
+                     ubFactor: Double): (Array[Long], Array[Long]) = {
+    val tv = totals(g)
+    val maxW = new Array[Long](k * g.ncon)
+    val minW = new Array[Long](k * g.ncon)
+    for (p <- 0 until k; c <- 0 until g.ncon) {
+      val t = targets(p) * tv(c)
+      maxW(p * g.ncon + c) = math.ceil(t * ubFactor).toLong
+      minW(p * g.ncon + c) = math.floor(t / ubFactor).toLong
+    }
+    (maxW, minW)
+  }
+
+  private def uniform(k: Int): Array[Double] = Array.fill(k)(1.0 / k)
+
   /** One seeded greedy graph-growing k-way partition + refinement pass. */
-  private def growOnce(g: LocalGraph, k: Int, ubFactor: Double,
-                       seed: Long): Array[Int] = {
+  private def growOnce(g: LocalGraph, k: Int, ubFactor: Double, seed: Long,
+                       targets: Array[Double]): Array[Int] = {
     val rnd = new Random(seed)
     val n = g.nvtxs
-    val tvwgt = g.vwgt.sum
-    val target = tvwgt.toDouble / k
-    val maxW = (target * ubFactor).ceil.toLong
+    val ncon = g.ncon
+    val tv = totals(g)
+    val (maxW, _) = bounds(g, k, targets, ubFactor)
     val where = Array.fill(n)(-1)
-    val pwgt = new Array[Long](k)
+    val pwgt = new Array[Long](k * ncon)
     var assigned = 0
-    // grow parts 0..k-2 by BFS from random unassigned seeds; rest -> k-1
+    def fits(v: Int, p: Int): Boolean = {
+      var c = 0
+      while (c < ncon) {
+        if (pwgt(p * ncon + c) + g.w(v, c) > maxW(p * ncon + c)) return false
+        c += 1
+      }
+      true
+    }
+    def add(v: Int, p: Int): Unit = {
+      var c = 0
+      while (c < ncon) { pwgt(p * ncon + c) += g.w(v, c); c += 1 }
+      where(v) = p; assigned += 1
+    }
+    // grow parts 0..k-2 by BFS from random unassigned seeds (primary
+    // constraint c=0 drives growth); rest -> k-1
     for (p <- 0 until k - 1) {
+      val target0 = targets(p) * tv(0)
       val queue = mutable.Queue.empty[Int]
-      while (pwgt(p) < target && assigned < n) {
+      while (pwgt(p * ncon) < target0 && assigned < n) {
         if (queue.isEmpty) {
           // new seed: random unassigned vertex
           var s = rnd.nextInt(n)
@@ -83,8 +148,8 @@ object InitialPartition {
           queue.enqueue(s)
         }
         val v = queue.dequeue()
-        if (where(v) == -1 && pwgt(p) + g.vwgt(v) <= maxW) {
-          where(v) = p; pwgt(p) += g.vwgt(v); assigned += 1
+        if (where(v) == -1 && fits(v, p)) {
+          add(v, p)
           var j = g.xadj(v)
           while (j < g.xadj(v + 1)) {
             if (where(g.adjncy(j)) == -1) queue.enqueue(g.adjncy(j))
@@ -92,20 +157,25 @@ object InitialPartition {
           }
         } else if (where(v) == -1 && queue.isEmpty) {
           // vertex too heavy for this part; skip it via a fresh seed
-          return refineGreedy(g, k, completeRest(g, k, where, pwgt), ubFactor)
+          return refineGreedy(g, k, completeRest(g, k, where, pwgt),
+            ubFactor, targets = targets)
         }
       }
     }
-    refineGreedy(g, k, completeRest(g, k, where, pwgt), ubFactor)
+    refineGreedy(g, k, completeRest(g, k, where, pwgt), ubFactor,
+      targets = targets)
   }
 
   private def completeRest(g: LocalGraph, k: Int, where: Array[Int],
                            pwgt: Array[Long]): Array[Int] = {
-    // remaining vertices: lightest part first (island restore F4 flavour,
-    // reference par_graph_restoreislands src/graph.c:3271-3382)
+    // remaining vertices: lightest part (primary constraint) first
+    // (island restore F4 flavour, reference par_graph_restoreislands
+    // src/graph.c:3271-3382)
     for (i <- 0 until g.nvtxs if where(i) == -1) {
-      val p = (0 until k).minBy(pwgt(_))
-      where(i) = p; pwgt(p) += g.vwgt(i)
+      val p = (0 until k).minBy(p0 => pwgt(p0 * g.ncon))
+      where(i) = p
+      var c = 0
+      while (c < g.ncon) { pwgt(p * g.ncon + c) += g.w(i, c); c += 1 }
     }
     where
   }
@@ -115,15 +185,29 @@ object InitialPartition {
 
   /** Greedy boundary refinement sweeps (serial flavour of R1,
     * S_par_kwayrefine_GREEDY src/kwayrefine.c:1004-1214): move a vertex to
-    * the neighbor part with max positive gain if balance stays feasible;
+    * the neighbor part with max positive gain if balance stays feasible
+    * under BOTH bounds (max target, min floor — reference
+    * kwayrefine.c:1056-1059) for EVERY constraint;
     * ≤ 8 passes (nrefpass default, ctrl.c:39) or until no move.
     */
   def refineGreedy(g: LocalGraph, k: Int, where: Array[Int],
-                   ubFactor: Double, passes: Int = 8): Array[Int] = {
-    val tvwgt = g.vwgt.sum
-    val maxW = (tvwgt.toDouble / k * ubFactor).ceil.toLong
-    val pwgt = new Array[Long](k)
-    for (i <- where.indices) pwgt(where(i)) += g.vwgt(i)
+                   ubFactor: Double, passes: Int = 8,
+                   targets: Array[Double] = null): Array[Int] = {
+    val ncon = g.ncon
+    val tgt = if (targets != null) targets else uniform(k)
+    val (maxW, minW) = bounds(g, k, tgt, ubFactor)
+    val pwgt = new Array[Long](k * ncon)
+    for (i <- where.indices; c <- 0 until ncon)
+      pwgt(where(i) * ncon + c) += g.w(i, c)
+    def feasible(v: Int, from: Int, to: Int): Boolean = {
+      var c = 0
+      while (c < ncon) {
+        if (pwgt(to * ncon + c) + g.w(v, c) > maxW(to * ncon + c)) return false
+        if (pwgt(from * ncon + c) - g.w(v, c) < minW(from * ncon + c)) return false
+        c += 1
+      }
+      true
+    }
     var pass = 0
     var moved = true
     val conn = new Array[Long](k)
@@ -141,15 +225,22 @@ object InitialPartition {
         var bestGain = 0L
         var p = 0
         while (p < k) {
-          if (p != home && pwgt(p) + g.vwgt(i) <= maxW) {
+          if (p != home && feasible(i, home, p)) {
             val gain = conn(p) - conn(home)
-            if (gain > bestGain || (gain == bestGain && gain > 0 && pwgt(p) < pwgt(best)))
+            if (gain > bestGain ||
+                (gain == bestGain && gain > 0 &&
+                  pwgt(p * ncon) < pwgt(best * ncon)))
               { best = p; bestGain = gain }
           }
           p += 1
         }
         if (best != home && bestGain > 0) {
-          pwgt(home) -= g.vwgt(i); pwgt(best) += g.vwgt(i)
+          var c = 0
+          while (c < ncon) {
+            pwgt(home * ncon + c) -= g.w(i, c)
+            pwgt(best * ncon + c) += g.w(i, c)
+            c += 1
+          }
           where(i) = best; moved = true
         }
         i += 1
@@ -160,14 +251,18 @@ object InitialPartition {
   }
 
   /** Best-of-N seeded solves by cut (reference ninitsolutions=8,
-    * src/ctrl.c:41, min-reduce src/initpart.c:70-77).
+    * src/ctrl.c:41, min-reduce src/initpart.c:70-77). `targets` = per-part
+    * weight fractions (reference tpwgts), default uniform.
     */
   def partition(g: LocalGraph, k: Int, ubFactor: Double = 1.03,
-                nSolutions: Int = 8, seed: Long = 42L): Array[Int] = {
+                nSolutions: Int = 8, seed: Long = 42L,
+                targets: Array[Double] = null): Array[Int] = {
     if (g.nvtxs == 0) return Array.empty
     if (k <= 1) return new Array[Int](g.nvtxs)
+    val tgt = if (targets != null) targets else uniform(k)
+    require(tgt.length == k, s"targets length ${tgt.length} != k=$k")
     val candidates = (0 until nSolutions).map { s =>
-      val w = growOnce(g, k, ubFactor, seed + s)
+      val w = growOnce(g, k, ubFactor, seed + s, tgt)
       (cutOf(g, w), w)
     }
     candidates.minBy(_._1)._2

@@ -9,15 +9,28 @@ import graft.plans.Checkpointer
   * DataFrame joins (north rule item 3; reference S_par_partition_mlevel,
   * src/partition.c:197-310):
   *
-  *   coarsen:  [matching (M1 SHEM→handshake joins) → contraction (A1
-  *             groupBy)] until nvtxs ≤ coarsenTo or shrink ratio >
-  *             stopRatio (P6, partition.c:216-223, ctrl.c:57,260);
+  *   islands:  degree-0 vertices split off before coarsening (F4,
+  *             par_graph_removeislands src/graph.c:3104-3269) and restored
+  *             afterwards into underweight parts
+  *             (par_graph_restoreislands src/graph.c:3271-3382);
+  *   coarsen:  [matching (M1 SHEM→handshake joins; RM fallback when SHEM
+  *             leaves ≥ ⅓ self-matched — P4, src/aggregate.c:2049-2087) →
+  *             contraction (A1 groupBy)] until nvtxs ≤ coarsenTo or shrink
+  *             ratio > stopRatio (P6, partition.c:216-223, ctrl.c:57,260);
   *   init:     collect coarsest to the driver, best-of-8 greedy growing
   *             (P10, initpart.c:30-77);
   *   uncoarsen: per level, projection join through cmap (J4,
   *             S_project_kway src/project.c:35-230) then bulk-synchronous
-  *             greedy boundary refinement (R1).
+  *             greedy boundary refinement (R1) under per-constraint
+  *             max/min bounds;
+  *   nruns:    the init+uncoarsen phase repeats `nRuns` times with distinct
+  *             seeds, keeping the min-cut feasible result (P11,
+  *             src/partition.c:501-596; coarsening is deterministic here so
+  *             it is shared across runs rather than recomputed).
   *
+  * Vertex weights are multi-constraint (`ncon` weights per vertex,
+  * reference src/graph.h:44); `targets` carries per-part fractions
+  * (reference tpwgts) so recursive bisection can ask for uneven halves.
   * Every level's cmap + assignment is checkpointed (the durable analogue of
   * the reference's out-of-core level dumps, src/asyncio.c) so the V-cycle
   * is resumable; cut/imbalance metrics are recorded per level.
@@ -30,26 +43,58 @@ object Multilevel {
   case class PartitionResult(assign: DataFrame, cut: Long, imbalance: Double,
                              levels: Int)
 
+  /** Scalar-weight entry point (vertices(vid, vwgt)). */
   def partition(spark: SparkSession, edges0: DataFrame, vertices0: DataFrame,
                 k: Int, ubFactor: Double = 1.03, coarsenTo0: Int = 0,
                 stopRatio: Double = 0.85, seed: Long = 42L,
-                ckpt: Option[Checkpointer] = None): PartitionResult = {
+                nRuns: Int = 1,
+                ckpt: Option[Checkpointer] = None): PartitionResult =
+    partitionMC(spark, edges0,
+      vertices0.select(col("vid"), array(col("vwgt")).as("vwgts")),
+      k, ncon = 1, ubFactor = ubFactor, coarsenTo0 = coarsenTo0,
+      stopRatio = stopRatio, seed = seed, nRuns = nRuns, ckpt = ckpt)
+
+  /** Multi-constraint entry point (vertices(vid, vwgts array<bigint>)). */
+  def partitionMC(spark: SparkSession, edges0: DataFrame, vertices0: DataFrame,
+                  k: Int, ncon: Int, ubFactor: Double = 1.03,
+                  coarsenTo0: Int = 0, stopRatio: Double = 0.85,
+                  seed: Long = 42L, nRuns: Int = 1,
+                  targets: Array[Double] = null,
+                  ckpt: Option[Checkpointer] = None): PartitionResult = {
+    val tgt = if (targets != null) targets else Array.fill(k)(1.0 / k)
     val coarsenTo = if (coarsenTo0 > 0) coarsenTo0 else math.max(30 * k, 200)
+    val allVerts = vertices0.select(col("vid"), col("vwgts"))
+      .localCheckpoint(true)
+    // F4: degree-0 islands skip the V-cycle entirely
+    val (connected0, islands) = GraphOps.splitIslands(allVerts, edges0)
     var edges = edges0.select(col("src"), col("dst"), col("wgt"))
       .localCheckpoint(true)
-    var vertices = vertices0.select(col("vid"), col("vwgt"))
+    var vertices = connected0.select(col("vid"), col("vwgts"))
       .localCheckpoint(true)
     var nvtxs = vertices.count()
-    val tvwgt = vertices.agg(sum(col("vwgt"))).head().getLong(0)
-    // P7 matching weight cap: 1.5 * (tvwgt / coarsenTo + 2)
+    def wc(c: Int) = element_at(col("vwgts"), c + 1)
+    val tvCols = (0 until ncon).map(c => sum(wc(c)).as(s"t$c"))
+    val tvAll = allVerts.agg(tvCols.head, tvCols.tail: _*).head()
+    val tv = (0 until ncon).map(c => tvAll.getLong(c)).toArray
+    // P7 matching weight cap per constraint: 1.5 * (tvwgt / coarsenTo + 2)
     // (reference src/coarsen.c:78-88)
-    val maxVwgt = (1.5 * (tvwgt.toDouble / coarsenTo + 2)).toLong
+    val caps = tv.map(t => (1.5 * (t.toDouble / coarsenTo + 2)).toLong)
 
     var levels = List.empty[Level] // finest first
     var shrinking = true
+    var levelSeed = seed
     while (nvtxs > coarsenTo && shrinking) {
-      val cmap = Matching.cmap(edges, vertices, maxVwgt)
-      val (ce, cv) = Contraction.contract(edges, vertices, cmap)
+      var cmap = Matching.cmapMC(edges, vertices, caps)
+      // P4: SHEM ineffective (self-matched ratio >= 1/3) -> rerun with RM
+      val paired = cmap.filter(col("vid") =!= col("coarse")).count()
+      if (nvtxs - 2 * paired >= nvtxs / 3) {
+        val rm = Matching.cmapMC(edges, vertices, caps,
+          scheme = Matching.RM, seed = levelSeed)
+        val rmPaired = rm.filter(col("vid") =!= col("coarse")).count()
+        if (rmPaired > paired) cmap = rm
+      }
+      levelSeed += 1
+      val (ce, cv) = Contraction.contractMC(edges, vertices, cmap, ncon)
       val cEdges = ce.localCheckpoint(true)
       val cVerts = cv.localCheckpoint(true)
       val cn = cVerts.count()
@@ -61,40 +106,105 @@ object Multilevel {
       } else shrinking = false
     }
 
-    // initial partition on the coarsest graph, driver-side best-of-8
+    // initial partition on the coarsest graph, driver-side best-of-8.
     // sorted: collect() row order is shuffle-fetch-order dependent, and the
     // serial solver's BFS visits neighbors in adjacency insertion order —
     // unsorted input would make the result run-dependent
     val eArr = edges.select(col("src"), col("dst"), col("wgt")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
-    val vArr = vertices.select(col("vid"), col("vwgt")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val g = InitialPartition.fromEdges(eArr, vArr)
-    val where0 = InitialPartition.partition(g, k, ubFactor, 8, seed)
-    var assign = spark.createDataFrame(
-      g.vids.zip(where0).toSeq.map { case (v, p) => (v, p) }
-    ).toDF("vid", "part").localCheckpoint(true)
-
-    // uncoarsen: project + refine per level, finest last
-    var levelIdx = levels.size
-    assign = Refinement.refine(spark, edges, vertices, assign, k, ubFactor)
-    for (lvl <- levels) {
-      levelIdx -= 1
-      // J4 projection join: fine inherits coarse part through cmap
-      val projected = lvl.cmap
-        .join(assign.withColumnRenamed("vid", "coarse"), "coarse")
-        .select(col("vid"), col("part"))
-        .localCheckpoint(true)
-      assign = Refinement.refine(spark, lvl.edges, lvl.vertices, projected,
-        k, ubFactor)
-      ckpt.foreach(c => c.write(s"mlevel_assign_l$levelIdx", 0, assign,
-        GraphOps.edgeCut(lvl.edges, assign).toDouble))
-    }
-
+    val vArr = vertices.select(col("vid"), col("vwgts")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val g = InitialPartition.fromEdgesMC(eArr, vArr, ncon)
     val finestEdges = if (levels.nonEmpty) levels.last.edges else edges
     val finestVerts = if (levels.nonEmpty) levels.last.vertices else vertices
-    val cut = GraphOps.edgeCut(finestEdges, assign)
-    val imb = GraphOps.imbalance(assign, finestVerts, k)
-    PartitionResult(assign, cut, imb, levels.size)
+
+    // P11 best-of-nruns over the init+uncoarsen phase (coarsening is
+    // deterministic and shared)
+    var bestAssign: DataFrame = null
+    var bestCut = Long.MaxValue
+    for (run <- 0 until nRuns) {
+      val where0 = InitialPartition.partition(g, k, ubFactor, 8,
+        seed + 7919L * run, targets = tgt)
+      var assign = spark.createDataFrame(
+        g.vids.zip(where0).toSeq.map { case (v, p) => (v, p) }
+      ).toDF("vid", "part").localCheckpoint(true)
+
+      // uncoarsen: project + refine per level, finest last
+      var levelIdx = levels.size
+      assign = Refinement.refineMC(spark, edges, vertices, assign, k,
+        ubFactor, ncon = ncon, targets = tgt)
+      for (lvl <- levels) {
+        levelIdx -= 1
+        // J4 projection join: fine inherits coarse part through cmap
+        val projected = lvl.cmap
+          .join(assign.withColumnRenamed("vid", "coarse"), "coarse")
+          .select(col("vid"), col("part"))
+          .localCheckpoint(true)
+        assign = Refinement.refineMC(spark, lvl.edges, lvl.vertices,
+          projected, k, ubFactor, ncon = ncon, targets = tgt)
+        ckpt.foreach(c => c.write(s"mlevel_assign_r${run}_l$levelIdx", 0,
+          assign, GraphOps.edgeCut(lvl.edges, assign).toDouble))
+      }
+      val cut = GraphOps.edgeCut(finestEdges, assign)
+      if (cut < bestCut) { bestCut = cut; bestAssign = assign }
+    }
+
+    // F4 restore: islands fill the parts' remaining weight headroom
+    // (reference round-robins them into underweight parts,
+    // src/graph.c:3271-3382) — deterministic deficit-proportional fill over
+    // the vid-ordered island sequence, no global window
+    val fullAssign = restoreIslands(spark, bestAssign, connected0, islands,
+      k, tgt, tv)
+
+    val cut = GraphOps.edgeCut(finestEdges, fullAssign)
+    val scalarVerts = allVerts.select(col("vid"), wc(0).as("vwgt"))
+    val imb = imbalanceTargets(fullAssign, scalarVerts, tgt, tv(0))
+    PartitionResult(fullAssign.localCheckpoint(true), cut, imb, levels.size)
+  }
+
+  /** max_p pwgt(p) / (targets(p)·tvwgt) — imbalance under target fractions
+    * (reference graph_imbalance, src/graph.c:1975-2000, generalized to
+    * tpwgts).
+    */
+  private def imbalanceTargets(assign: DataFrame, scalarVerts: DataFrame,
+                               tgt: Array[Double], tv: Long): Double = {
+    val rows = assign.join(scalarVerts, "vid")
+      .groupBy(col("part")).agg(sum(col("vwgt")).as("pw")).collect()
+    rows.map(r => r.getLong(1).toDouble /
+      (tgt(r.get(0).toString.toInt) * tv)).max
+  }
+
+  /** Deficit-proportional island placement: islands (vid-ordered, exact
+    * bucketed cumulative weight) are cut into k contiguous runs sized by
+    * each part's weight deficit vs its target.
+    */
+  private def restoreIslands(spark: SparkSession, coreAssign: DataFrame,
+                             connected: DataFrame, islands: DataFrame,
+                             k: Int, tgt: Array[Double],
+                             tv: Array[Long]): DataFrame = {
+    if (islands.isEmpty) return coreAssign
+    val iw = islands.select(col("vid"),
+      element_at(col("vwgts"), 1).as("deg"))
+    val totalIsland = iw.agg(sum(col("deg"))).head().getLong(0)
+    // per-part deficit vs target on the core assignment
+    val pw = coreAssign
+      .join(connected.select(col("vid"),
+        element_at(col("vwgts"), 1).as("w")), "vid")
+      .groupBy(col("part")).agg(sum(col("w")).as("pw")).collect()
+      .map(r => (r.get(0).toString.toInt, r.getLong(1))).toMap
+    val deficits = (0 until k).map { p =>
+      math.max(0.0, tgt(p) * tv(0) - pw.getOrElse(p, 0L).toDouble)
+    }
+    val defSum = deficits.sum
+    // contiguous cumulative-weight boundaries per part (fallback: uniform)
+    val shares =
+      if (defSum > 0) deficits.map(_ / defSum) else tgt.toIndexedSeq
+    val cumBounds = shares.scanLeft(0.0)(_ + _).tail
+      .map(f => math.ceil(f * totalIsland).toLong).toArray
+    val islandAssign = GraphOps.cumDegByVid(iw)
+      .select(col("vid"),
+        GraphOps.rangeIdFor(col("cum"), cumBounds.init).cast("int").as("part"))
+    coreAssign.select(col("vid"), col("part").cast("int").as("part"))
+      .unionByName(islandAssign)
   }
 }

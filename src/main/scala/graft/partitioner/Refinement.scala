@@ -19,24 +19,62 @@ import graft.operators.GraphOps
   *   4. anti-oscillation: the reference's two-phase S_right_side rule
   *      (kwayrefine.c:142-167 — phase 0 moves only to higher pids, phase 1
   *      only lower) applied verbatim to suppress A↔B swap thrash;
-  *   5. balance feasibility: per target part, accept candidates in
-  *      gain-descending order while the part stays under
-  *      maxwgt = tvwgt/k · ubFactor (R5, kwayrefine.c:1056-1059) given its
-  *      pass-start weight plus admitted inflow minus certain outflow is a
-  *      conservative bound — enforced with a cumulative-weight window;
+  *   5. balance feasibility under BOTH bounds for EVERY constraint
+  *      (maxwgt/minwgt = tpwgts·tvwgt·ub^±1, reference
+  *      kwayrefine.c:1056-1059; multi-constraint check
+  *      IsHBalanceBetterTT kwayrefine_chunk.c:405-438): candidates are
+  *      admitted in gain order under two cumulative-weight windows — the
+  *      target part's inflow may not exceed its max headroom, and the
+  *      source part's outflow may not drain it below the floor. Both
+  *      prefixes are conservative (a candidate rejected by one window
+  *      still counts in the other's prefix), so admitted move sets are
+  *      always jointly feasible;
   *   6. pwgts re-synced from scratch per pass (S_par_sync_pwgts,
   *      kwayrefine.c:774-807) — consistent by construction in BSP;
   *   7. keep the best assignment seen (mincut tracking, kwayrefine.c:1186).
+  *
+  * Vertex weights are multi-constraint: `vertices(vid, vwgts array<bigint>)`
+  * with `ncon` entries each (reference vwgt layout src/graph.h:44,55);
+  * `targets` = per-part weight fractions (reference tpwgts), uniform by
+  * default. [[refine]] is the scalar (ncon=1) wrapper.
   */
 object Refinement {
 
+  /** Scalar-weight entry point: vertices(vid, vwgt). */
   def refine(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
              assign0: DataFrame, k: Int, ubFactor: Double = 1.03,
-             passes: Int = 8): DataFrame = {
+             passes: Int = 8): DataFrame =
+    refineMC(spark, edges,
+      vertices.select(col("vid"), array(col("vwgt")).as("vwgts")),
+      assign0, k, ubFactor, passes)
+
+  /** Multi-constraint entry point: vertices(vid, vwgts array<bigint>). */
+  def refineMC(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
+               assign0: DataFrame, k: Int, ubFactor: Double = 1.03,
+               passes: Int = 8, ncon: Int = 1,
+               targets: Array[Double] = null): DataFrame = {
+    val tgt = if (targets != null) targets else Array.fill(k)(1.0 / k)
+    require(tgt.length == k, s"targets length ${tgt.length} != k=$k")
     val sym = GraphOps.symmetrize(edges).persist()
-    val vw = vertices.select(col("vid"), col("vwgt")).persist()
-    val tvwgt = vw.agg(sum(col("vwgt"))).head().getLong(0)
-    val maxW = math.ceil(tvwgt.toDouble / k * ubFactor).toLong
+    val vw = vertices.select(col("vid"), col("vwgts")).persist()
+    def wc(c: Int) = element_at(col("vwgts"), c + 1)
+    val tvCols = (0 until ncon).map(c => sum(wc(c)).as(s"t$c"))
+    val tvRow = vw.agg(tvCols.head, tvCols.tail: _*).head()
+    val tv = (0 until ncon).map(c => tvRow.getLong(c)).toArray
+    // per-(part, constraint) bounds: maxwgt/minwgt = tpwgts·tvwgt·ub^±1
+    val boundsDf = broadcast(spark.createDataFrame(
+      (0 until k).map { p =>
+        (p,
+          (0 until ncon).map(c => math.ceil(tgt(p) * tv(c) * ubFactor).toLong),
+          (0 until ncon).map(c => math.floor(tgt(p) * tv(c) / ubFactor).toLong))
+      }).toDF("part", "maxw", "minw"))
+    // imbalance under targets: max_p pwgt(p,0) / (targets(p)·tvwgt(0))
+    def imbalanceOf(a: DataFrame): Double = {
+      val rows = a.join(vw, "vid").groupBy(col("part"))
+        .agg(sum(wc(0)).as("pw")).collect()
+      rows.map(r => r.getLong(1).toDouble /
+        (tgt(r.get(0).toString.toInt) * tv(0))).max
+    }
 
     var best = assign0.select(col("vid"), col("part")).localCheckpoint(true)
     var bestCut = GraphOps.edgeCut(edges, best)
@@ -69,16 +107,33 @@ object Refinement {
           .select(col("vid"), col("from"), (-col("b.np")).as("to"),
             col("b.gain").as("gain"))
           .join(vw, "vid")
-        // 5. admit by gain order within each target part's weight headroom
+        // 5. admit by gain order within the target part's max headroom AND
+        //    the source part's min floor, per constraint
+        val pwCols = (0 until ncon).map(c => sum(wc(c)).as(s"pw$c"))
         val pw = a.join(vw, "vid").groupBy(col("part"))
-          .agg(sum(col("vwgt")).as("pwgt"))
-        val wAdmit = Window.partitionBy(col("to"))
+          .agg(pwCols.head, pwCols.tail: _*)
+        val wTo = Window.partitionBy(col("to"))
           .orderBy(col("gain").desc, col("vid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wFrom = Window.partitionBy(col("from"))
+          .orderBy(col("gain").desc, col("vid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val toSide = pw.select((col("part").as("to") +:
+          (0 until ncon).map(c => col(s"pw$c").as(s"toPw$c"))): _*)
+          .join(boundsDf.select(col("part").as("to"), col("maxw")), "to")
+        val fromSide = pw.select((col("part").as("from") +:
+          (0 until ncon).map(c => col(s"pw$c").as(s"fromPw$c"))): _*)
+          .join(boundsDf.select(col("part").as("from"), col("minw")), "from")
+        val okCond = (0 until ncon).map { c =>
+          (col(s"toPw$c") + sum(wc(c)).over(wTo) <=
+            element_at(col("maxw"), c + 1)) &&
+          (col(s"fromPw$c") - sum(wc(c)).over(wFrom) >=
+            element_at(col("minw"), c + 1))
+        }.reduce(_ && _)
         val admitted = cand
-          .join(pw.withColumnRenamed("part", "to"), Seq("to"))
-          .withColumn("cumIn", sum(col("vwgt")).over(
-            wAdmit.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .filter(col("pwgt") + col("cumIn") <= maxW)
+          .join(toSide, "to").join(fromSide, "from")
+          .withColumn("ok", okCond)
+          .filter(col("ok"))
           .select(col("vid"), col("to"))
         val next = a.join(admitted, Seq("vid"), "left")
           .select(col("vid"), coalesce(col("to"), col("part")).as("part"))
@@ -86,7 +141,7 @@ object Refinement {
         cur = next
       }
       val cut = GraphOps.edgeCut(edges, cur)
-      val imb = GraphOps.imbalance(cur, vw, k)
+      val imb = imbalanceOf(cur)
       improved = cut < bestCut && imb <= ubFactor + 1e-9
       if (improved) { bestCut = cut; best = cur }
       pass += 1

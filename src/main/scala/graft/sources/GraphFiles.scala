@@ -50,6 +50,8 @@ object GraphFiles {
     val (nvtxs, fmt, ncon) = (header(0),
       if (header.length > 2) header(2).toString.reverse.padTo(3, '0').reverse else "000",
       if (header.length > 3) header(3).toInt else 1)
+    require(fmt(0) == '0',
+      s"METIS fmt=$fmt: vertex sizes (fmt=1xx) unsupported")
     val hasVwgt = fmt(1) == '1'
     val hasAdjwgt = fmt(2) == '1'
     val nconEff = if (hasVwgt) ncon else 0
@@ -64,7 +66,7 @@ object GraphFiles {
       else lit(1L).as("vwgt"))
     val stride = if (hasAdjwgt) 2 else 1
     val adjToks = toks.select(col("vid"),
-      slice(col("t"), nconEff + 1, 1000000).as("a"))
+      slice(col("t"), lit(nconEff + 1), greatest(size(col("t")), lit(1))).as("a"))
       .select(col("vid"), posexplode_outer(col("a")))
       .filter(col("col").isNotNull && length(col("col")) > 0)
     val dir =
