@@ -145,6 +145,61 @@ object SparkEntry {
         .select(col("n_assigned"), col("n_distinct"), col("out_of_range"),
           col("n_missing"))
     },
+    // recursive bisection (reference MTMETIS_PartGraphRecursive,
+    // src/mtmetis.c:362-391) — same totality/range gate
+    "q_partition_rb" -> { (s, d) =>
+      val e = EventsGraph.edges(s, d)
+      val v = EventsGraph.vertices(s, d).withColumn("vwgt", lit(1L))
+      val assign = graft.partitioner.Recursive.partition(s, e, v, 4,
+        coarsenTo0 = 60)
+      val missing = v.select(col("vid"))
+        .join(assign.select(col("vid")), Seq("vid"), "left_anti").count()
+      assign.agg(
+          count(lit(1)).as("n_assigned"),
+          countDistinct(col("vid")).as("n_distinct"),
+          max(when(col("part") >= 0 && col("part") < 4, 0L).otherwise(1L))
+            .as("out_of_range"))
+        .withColumn("n_missing", lit(missing))
+        .select(col("n_assigned"), col("n_distinct"), col("out_of_range"),
+          col("n_missing"))
+    },
+    // multi-constraint partition (reference ncon>1, src/graph.h:44; the
+    // -l training-set constraint use case): c0 = unit, c1 = vid parity.
+    // Gate: totality/range plus a sanity bound on the secondary
+    // constraint's imbalance (tight balance asserted in PartitionerSpec)
+    "q_partition_mc" -> { (s, d) =>
+      val e = EventsGraph.edges(s, d)
+      val v = EventsGraph.vertices(s, d)
+        .select(col("vid"), array(lit(1L), pmod(col("vid"), lit(2L))).as("vwgts"))
+      val r = graft.partitioner.Multilevel.partitionMC(s, e, v, 4, ncon = 2,
+        coarsenTo0 = 60)
+      val pw1 = r.assign.join(v, "vid").groupBy(col("part"))
+        .agg(sum(element_at(col("vwgts"), 2)).as("pw")).collect()
+      val tv1 = pw1.map(_.getLong(1)).sum
+      val imb1 = pw1.map(_.getLong(1)).max.toDouble * 4 / tv1
+      val missing = v.select(col("vid"))
+        .join(r.assign.select(col("vid")), Seq("vid"), "left_anti").count()
+      r.assign.agg(
+          count(lit(1)).as("n_assigned"),
+          countDistinct(col("vid")).as("n_distinct"),
+          max(when(col("part") >= 0 && col("part") < 4, 0L).otherwise(1L))
+            .as("out_of_range"))
+        .withColumn("n_missing", lit(missing))
+        .withColumn("mc_sane", lit(imb1 <= 1.5))
+        .select(col("n_assigned"), col("n_distinct"), col("out_of_range"),
+          col("n_missing"), col("mc_sane"))
+    },
+    // nested-dissection ordering (reference MTMETIS_NodeND,
+    // src/mtmetis.c:426-461): the output must be a permutation of [0, n)
+    "q_nd_perm" -> { (s, d) =>
+      val e = EventsGraph.edges(s, d)
+      val v = EventsGraph.vertices(s, d)
+      graft.partitioner.NestedDissection.order(s, e, v).agg(
+        count(lit(1)).as("n_vertices"),
+        countDistinct(col("perm")).as("n_distinct_perm"),
+        min(col("perm")).as("min_perm"),
+        max(col("perm")).as("max_perm"))
+    },
     "q_partition_quality" -> { (s, d) =>
       val e = EventsGraph.edges(s, d)
       val v = EventsGraph.vertices(s, d).withColumn("vwgt", lit(1L))
@@ -170,6 +225,21 @@ object SparkEntry {
       NearDup.minhashLshPairs(docs(s, d), 64, 16, 3, 0.5)),
     "q_simhash" -> ((s, d) => NearDup.simhash(docs(s, d))),
     "q_simhash_pairs" -> ((s, d) => NearDup.simhashPairs(docs(s, d), 3)),
+    // ---- multimodal columns (binary payload + typed metadata) ----
+    "q_media_meta" -> ((s, d) =>
+      Multimodal.metadata(Multimodal.mediaFromDocs(docs(s, d)))),
+    "q_media_frames" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.mediaFromDocs(docs(s, d)), 66, 4)),
+    // decode path: the feature VALUES come from the documented stub (no
+    // codecs in this environment) — the gate checks the batch plumbing:
+    // one row per media row, byte counts, fixed feature width
+    "q_media_features" -> { (s, d) =>
+      Multimodal.decodeStub(s, Multimodal.mediaFromDocs(docs(s, d)), dim = 8)
+        .toDF()
+        .select(col("doc_id"), col("media_type"),
+          col("n_bytes").cast("bigint").as("n_bytes"),
+          size(col("features")).cast("bigint").as("dim"))
+    },
     // ---- similarity search ----
     "q_knn_brute" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 5, 10)),
     "q_knn_lsh" -> ((s, d) => Ann.lshTopK(emb(s, d), 64, 5, 10)),
@@ -294,6 +364,26 @@ object SparkEntry {
         |SELECT n AS n_assigned, n AS n_distinct,
         |       CAST(0 AS BIGINT) AS out_of_range,
         |       CAST(0 AS BIGINT) AS n_missing FROM n""".stripMargin,
+    "q_partition_rb" ->
+      """WITH n AS (
+        |  SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
+        |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)
+        |SELECT n AS n_assigned, n AS n_distinct,
+        |       CAST(0 AS BIGINT) AS out_of_range,
+        |       CAST(0 AS BIGINT) AS n_missing FROM n""".stripMargin,
+    "q_partition_mc" ->
+      """WITH n AS (
+        |  SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
+        |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)
+        |SELECT n AS n_assigned, n AS n_distinct,
+        |       CAST(0 AS BIGINT) AS out_of_range,
+        |       CAST(0 AS BIGINT) AS n_missing, TRUE AS mc_sane FROM n""".stripMargin,
+    "q_nd_perm" ->
+      """WITH n AS (
+        |  SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
+        |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)
+        |SELECT n AS n_vertices, n AS n_distinct_perm,
+        |       CAST(0 AS BIGINT) AS min_perm, n - 1 AS max_perm FROM n""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -354,6 +444,30 @@ object SparkEntry {
         |      LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text)),
         |        i -> CAST(ASCII(SUBSTR(text, CAST(i AS INT), 1)) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 16 AS BIGINT) AS width,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) % 480 + 16 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_frames" ->
+      """WITH m AS (SELECT doc_id, UPPER(HEX(ENCODE(text))) AS hx,
+        |                  OCTET_LENGTH(ENCODE(text)) AS n
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, hx,
+        |        UNNEST(LIST_FILTER(GENERATE_SERIES(0,
+        |          CAST(CEIL(n / 66.0) AS INT) - 1), i -> i % 4 = 0)) AS fi
+        |      FROM m)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |       MD5(SUBSTRING(hx, CAST(fi * 132 + 1 AS INT), 132)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |  CAST(8 AS BIGINT) AS dim
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

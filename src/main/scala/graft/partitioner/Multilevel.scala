@@ -54,17 +54,31 @@ object Multilevel {
       k, ncon = 1, ubFactor = ubFactor, coarsenTo0 = coarsenTo0,
       stopRatio = stopRatio, seed = seed, nRuns = nRuns, ckpt = ckpt)
 
-  /** Multi-constraint entry point (vertices(vid, vwgts array<bigint>)). */
+  /** Multi-constraint entry point (vertices(vid, vwgts array<bigint>)).
+    *
+    * `serialRefineThreshold`: levels at or below this many vertices refine
+    * SERIALLY on the gathered level (the reference's own dispatch rule —
+    * serial FM whenever the graph is small enough,
+    * src/eseprefine.c:1060-1097 `nedges < 32768·√nthreads`); larger levels
+    * run the distributed BSP refinement. Only the coarse tail of the
+    * V-cycle is ever below the threshold at scale — the finest (expensive)
+    * levels stay distributed.
+    */
   def partitionMC(spark: SparkSession, edges0: DataFrame, vertices0: DataFrame,
                   k: Int, ncon: Int, ubFactor: Double = 1.03,
                   coarsenTo0: Int = 0, stopRatio: Double = 0.85,
                   seed: Long = 42L, nRuns: Int = 1,
                   targets: Array[Double] = null,
+                  serialRefineThreshold: Long = 4096L,
                   ckpt: Option[Checkpointer] = None): PartitionResult = {
     val tgt = if (targets != null) targets else Array.fill(k)(1.0 / k)
     val coarsenTo = if (coarsenTo0 > 0) coarsenTo0 else math.max(30 * k, 200)
     val allVerts = vertices0.select(col("vid"), col("vwgts"))
       .localCheckpoint(true)
+    if (allVerts.isEmpty)
+      return PartitionResult(
+        spark.createDataFrame(Seq.empty[(Long, Int)]).toDF("vid", "part"),
+        0L, 1.0, 0)
     // F4: degree-0 islands skip the V-cycle entirely
     val (connected0, islands) = GraphOps.splitIslands(allVerts, edges0)
     var edges = edges0.select(col("src"), col("dst"), col("wgt"))
@@ -129,10 +143,10 @@ object Multilevel {
         g.vids.zip(where0).toSeq.map { case (v, p) => (v, p) }
       ).toDF("vid", "part").localCheckpoint(true)
 
-      // uncoarsen: project + refine per level, finest last
+      // uncoarsen: project + refine per level, finest last. The coarsest
+      // level needs no distributed refine — InitialPartition.refineGreedy
+      // already refined it serially on the gathered graph (P10)
       var levelIdx = levels.size
-      assign = Refinement.refineMC(spark, edges, vertices, assign, k,
-        ubFactor, ncon = ncon, targets = tgt)
       for (lvl <- levels) {
         levelIdx -= 1
         // J4 projection join: fine inherits coarse part through cmap
@@ -140,8 +154,11 @@ object Multilevel {
           .join(assign.withColumnRenamed("vid", "coarse"), "coarse")
           .select(col("vid"), col("part"))
           .localCheckpoint(true)
-        assign = Refinement.refineMC(spark, lvl.edges, lvl.vertices,
-          projected, k, ubFactor, ncon = ncon, targets = tgt)
+        assign =
+          if (lvl.nvtxs <= serialRefineThreshold)
+            serialRefine(spark, lvl, projected, k, ncon, ubFactor, tgt)
+          else Refinement.refineMC(spark, lvl.edges, lvl.vertices,
+            projected, k, ubFactor, ncon = ncon, targets = tgt)
         ckpt.foreach(c => c.write(s"mlevel_assign_r${run}_l$levelIdx", 0,
           assign, GraphOps.edgeCut(lvl.edges, assign).toDouble))
       }
@@ -160,6 +177,31 @@ object Multilevel {
     val scalarVerts = allVerts.select(col("vid"), wc(0).as("vwgt"))
     val imb = imbalanceTargets(fullAssign, scalarVerts, tgt, tv(0))
     PartitionResult(fullAssign.localCheckpoint(true), cut, imb, levels.size)
+  }
+
+  /** Serial refinement of one gathered sub-threshold level (the
+    * small-graph dispatch — reference src/eseprefine.c:1060-1097): collect
+    * the level, run the greedy sweep in the driver, re-parallelize.
+    * Deterministic: vids sorted, sequential sweep.
+    */
+  private def serialRefine(spark: SparkSession, lvl: Level,
+                           projected: DataFrame, k: Int, ncon: Int,
+                           ubFactor: Double,
+                           tgt: Array[Double]): DataFrame = {
+    val eArr = lvl.edges.select(col("src"), col("dst"), col("wgt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val vArr = lvl.vertices.select(col("vid"), col("vwgts")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val g = InitialPartition.fromEdgesMC(eArr, vArr, ncon)
+    val whereMap = projected.collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+    val where = g.vids.map(whereMap)
+    val refined = InitialPartition.refineGreedy(g, k, where, ubFactor,
+      targets = tgt)
+    spark.createDataFrame(
+      g.vids.zip(refined).toSeq.map { case (v, p) => (v, p) })
+      .toDF("vid", "part").localCheckpoint(true)
   }
 
   /** max_p pwgt(p) / (targets(p)·tvwgt) — imbalance under target fractions

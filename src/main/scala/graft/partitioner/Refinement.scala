@@ -55,25 +55,47 @@ object Refinement {
                targets: Array[Double] = null): DataFrame = {
     val tgt = if (targets != null) targets else Array.fill(k)(1.0 / k)
     require(tgt.length == k, s"targets length ${tgt.length} != k=$k")
+    if (vertices.isEmpty) return assign0
     val sym = GraphOps.symmetrize(edges).persist()
     val vw = vertices.select(col("vid"), col("vwgts")).persist()
     def wc(c: Int) = element_at(col("vwgts"), c + 1)
     val tvCols = (0 until ncon).map(c => sum(wc(c)).as(s"t$c"))
     val tvRow = vw.agg(tvCols.head, tvCols.tail: _*).head()
     val tv = (0 until ncon).map(c => tvRow.getLong(c)).toArray
-    // per-(part, constraint) bounds: maxwgt/minwgt = tpwgts·tvwgt·ub^±1
-    val boundsDf = broadcast(spark.createDataFrame(
-      (0 until k).map { p =>
-        (p,
-          (0 until ncon).map(c => math.ceil(tgt(p) * tv(c) * ubFactor).toLong),
-          (0 until ncon).map(c => math.floor(tgt(p) * tv(c) / ubFactor).toLong))
-      }).toDF("part", "maxw", "minw"))
-    // imbalance under targets: max_p pwgt(p,0) / (targets(p)·tvwgt(0))
-    def imbalanceOf(a: DataFrame): Double = {
-      val rows = a.join(vw, "vid").groupBy(col("part"))
-        .agg(sum(wc(0)).as("pw")).collect()
-      rows.map(r => r.getLong(1).toDouble /
-        (tgt(r.get(0).toString.toInt) * tv(0))).max
+    // per-(part, constraint) bounds: maxwgt/minwgt = tpwgts·tvwgt·ub^±1 —
+    // k·ncon driver-side longs, inlined as literals into the admit
+    // predicate (joins here would bloat the per-phase plan that Catalyst
+    // re-optimizes on every action)
+    val maxW = Array.tabulate(k, ncon)((p, c) =>
+      math.ceil(tgt(p) * tv(c) * ubFactor).toLong)
+    val minW = Array.tabulate(k, ncon)((p, c) =>
+      math.floor(tgt(p) * tv(c) / ubFactor).toLong)
+    // literal lookup column: keyCol == p -> values(p)(c)
+    def byPart(keyCol: org.apache.spark.sql.Column,
+               values: Int => Long): org.apache.spark.sql.Column =
+      (0 until k).foldLeft(lit(Long.MinValue)) { (e, p) =>
+        when(keyCol === p, lit(values(p))).otherwise(e)
+      }
+    // ONE action per pass for both metrics (edge-cut + imbalance under
+    // targets): the two aggregates ride a tagged union — per-pass driver
+    // job count is the BSP loop's fixed cost, so metrics are batched
+    def cutAndImbalance(a: DataFrame): (Long, Double) = {
+      val cutDf = edges
+        .join(a.select(col("vid").as("src"), col("part").as("sp")), "src")
+        .join(a.select(col("vid").as("dst"), col("part").as("dp")), "dst")
+        .filter(col("sp") =!= col("dp"))
+        .agg(coalesce(sum(col("wgt")), lit(0L)).as("v"))
+        .select(lit(-1L).as("k"), col("v"))
+      val pwDf = a.join(vw, "vid").groupBy(col("part"))
+        .agg(sum(wc(0)).as("v"))
+        .select(col("part").cast("long").as("k"), col("v"))
+      val rows = cutDf.unionByName(pwDf).collect()
+      val cut = rows.find(_.getLong(0) == -1L).map(_.getLong(1)).getOrElse(0L)
+      val pws = rows.filter(_.getLong(0) >= 0)
+      val imb = if (pws.isEmpty) 1.0
+        else pws.map(r => r.getLong(1).toDouble /
+          (tgt(r.getLong(0).toInt) * tv(0))).max
+      (cut, imb)
     }
 
     var best = assign0.select(col("vid"), col("part")).localCheckpoint(true)
@@ -91,57 +113,63 @@ object Refinement {
           .groupBy(col("src").as("vid"), col("dpart"))
           .agg(sum(col("wgt")).as("conn"))
         val withHome = nbr.join(a, "vid")
-        val id = withHome.filter(col("dpart") === col("part"))
-          .select(col("vid"), col("conn").as("id"))
-        val ext = withHome.filter(col("dpart") =!= col("part"))
-        // 3+4. best eligible move per vertex under the phase direction rule
+        // 3+4. best eligible move per vertex under the phase direction
+        // rule, in ONE conditional aggregation (internal degree and best
+        // external target fold into the same groupBy — no id/ext
+        // self-join; gain ordering is unchanged since id is constant per
+        // vertex)
         val dirOk =
           if (phase == 0) col("dpart") > col("part") else col("dpart") < col("part")
-        val cand = ext.filter(dirOk)
-          .join(id, Seq("vid"), "left")
-          .withColumn("gain", col("conn") - coalesce(col("id"), lit(0L)))
+        val cand = withHome
+          .groupBy(col("vid"), col("part"))
+          .agg(
+            max(when(col("dpart") === col("part"), col("conn"))).as("idw"),
+            max(when(col("dpart") =!= col("part") && dirOk,
+              struct(col("conn"), (-col("dpart")).as("np")))).as("b"))
+          .filter(col("b").isNotNull)
+          .withColumn("gain",
+            col("b.conn") - coalesce(col("idw"), lit(0L)))
           .filter(col("gain") > 0)
-          .groupBy(col("vid"))
-          .agg(max(struct(col("gain"), (-col("dpart")).as("np"))).as("b"),
-            first(col("part")).as("from"))
-          .select(col("vid"), col("from"), (-col("b.np")).as("to"),
-            col("b.gain").as("gain"))
+          .select(col("vid"), col("part").as("from"), (-col("b.np")).as("to"),
+            col("gain"))
           .join(vw, "vid")
         // 5. admit by gain order within the target part's max headroom AND
-        //    the source part's min floor, per constraint
+        //    the source part's min floor, per constraint. Phase-start pwgts
+        //    are k·ncon longs — gathered to the driver (one tiny job) and
+        //    inlined, keeping the admit plan join-free on the bounds side
         val pwCols = (0 until ncon).map(c => sum(wc(c)).as(s"pw$c"))
-        val pw = a.join(vw, "vid").groupBy(col("part"))
-          .agg(pwCols.head, pwCols.tail: _*)
+        val pwRows = a.join(vw, "vid").groupBy(col("part"))
+          .agg(pwCols.head, pwCols.tail: _*).collect()
+        val pw = Array.ofDim[Long](k, ncon)
+        pwRows.foreach { r =>
+          val p = r.get(0).toString.toInt
+          (0 until ncon).foreach(c => pw(p)(c) = r.getLong(c + 1))
+        }
         val wTo = Window.partitionBy(col("to"))
           .orderBy(col("gain").desc, col("vid"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wFrom = Window.partitionBy(col("from"))
           .orderBy(col("gain").desc, col("vid"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val toSide = pw.select((col("part").as("to") +:
-          (0 until ncon).map(c => col(s"pw$c").as(s"toPw$c"))): _*)
-          .join(boundsDf.select(col("part").as("to"), col("maxw")), "to")
-        val fromSide = pw.select((col("part").as("from") +:
-          (0 until ncon).map(c => col(s"pw$c").as(s"fromPw$c"))): _*)
-          .join(boundsDf.select(col("part").as("from"), col("minw")), "from")
         val okCond = (0 until ncon).map { c =>
-          (col(s"toPw$c") + sum(wc(c)).over(wTo) <=
-            element_at(col("maxw"), c + 1)) &&
-          (col(s"fromPw$c") - sum(wc(c)).over(wFrom) >=
-            element_at(col("minw"), c + 1))
+          (sum(wc(c)).over(wTo) <=
+            byPart(col("to"), p => maxW(p)(c) - pw(p)(c))) &&
+          (sum(wc(c)).over(wFrom) <=
+            byPart(col("from"), p => pw(p)(c) - minW(p)(c)))
         }.reduce(_ && _)
         val admitted = cand
-          .join(toSide, "to").join(fromSide, "from")
           .withColumn("ok", okCond)
           .filter(col("ok"))
           .select(col("vid"), col("to"))
-        val next = a.join(admitted, Seq("vid"), "left")
-          .select(col("vid"), coalesce(col("to"), col("part")).as("part"))
-          .localCheckpoint(true)
+        // Plans.checkpoint (not raw localCheckpoint): the metrics union
+        // below sits directly above this LogicalRDD — the Spark 4.1
+        // stale-constraint crash shape
+        val next = graft.plans.Plans.checkpoint(
+          a.join(admitted, Seq("vid"), "left")
+            .select(col("vid"), coalesce(col("to"), col("part")).as("part")))
         cur = next
       }
-      val cut = GraphOps.edgeCut(edges, cur)
-      val imb = imbalanceOf(cur)
+      val (cut, imb) = cutAndImbalance(cur)
       improved = cut < bestCut && imb <= ubFactor + 1e-9
       if (improved) { bestCut = cut; best = cur }
       pass += 1

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+import graft.partitioner.{Matching, Multilevel, NestedDissection, Recursive, Refinement}
+
+/** Round-2 partitioner surface: multi-constraint weights (reference ncon,
+  * src/graph.h:44), island split/restore (F4, src/graph.c:3104-3382), RM
+  * matching (src/aggregate.c:1133-1311), best-of-nruns (P11,
+  * src/partition.c:501-596), the min-weight floor
+  * (src/kwayrefine.c:1056-1059), recursive bisection
+  * (MTMETIS_PartGraphRecursive, src/mtmetis.c:362-391) and nested
+  * dissection (MTMETIS_NodeND, src/mtmetis.c:426-461, W2 numbering
+  * src/order.c:155-159).
+  */
+class PartitionerExtSpec extends SparkSpec {
+
+  private def mcVerts(vids: Seq[Long]) =
+    spark.createDataFrame(vids.map(v => Tuple1(v))).toDF("vid")
+      .select(col("vid"), array(lit(1L), pmod(col("vid"), lit(2L))).as("vwgts"))
+
+  test("multi-constraint: both constraints balanced end-to-end") {
+    val e = Fixtures.zipf(300)
+    val vids = Fixtures.vertsOf(e)
+    val k = 4
+    val r = Multilevel.partitionMC(spark, edgesDf(e), mcVerts(vids), k,
+      ncon = 2, coarsenTo0 = 60)
+    val parts = r.assign.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(parts.keySet == vids.toSet, "totality")
+    // c0 (unit) balance within ub + integrality
+    assert(r.imbalance <= 1.03 + 2.0 * k / vids.size + 1e-9,
+      s"c0 imbalance ${r.imbalance}")
+    // c1 (parity) may drift but must stay bounded — the MC machinery caps
+    // every move against BOTH constraints' bounds
+    val tv1 = vids.count(_ % 2 == 1).toDouble
+    val pw1 = parts.toSeq.groupBy(_._2)
+      .map { case (_, g) => g.map(_._1 % 2).sum.toDouble }
+    assert(pw1.max * k / tv1 <= 1.35, s"c1 imbalance ${pw1.max * k / tv1}")
+  }
+
+  test("multi-constraint matching cap blocks on the second constraint") {
+    // edge (1,2): c0 fine (2+2 <= 100) but c1 = 60+60 > 100 -> no merge
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 5L), (2L, 3L, 1L))
+    val vw = spark.createDataFrame(Seq(
+      (0L, Seq(2L, 1L)), (1L, Seq(2L, 60L)), (2L, Seq(2L, 60L)),
+      (3L, Seq(2L, 1L)))).toDF("vid", "vwgts")
+    val cmap = Matching.cmapMC(edgesDf(e), vw, Array(100L, 100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cmap(1L) != cmap(2L), "pair over the c1 cap must not merge")
+  }
+
+  test("RM matching produces a valid matching") {
+    val e = Fixtures.zipf(200)
+    val vids = Fixtures.vertsOf(e)
+    val vw = spark.createDataFrame(vids.map(v => (v, Seq(1L)))).toDF("vid", "vwgts")
+    val cmap = Matching.cmapMC(edgesDf(e), vw, Array(100L),
+      scheme = Matching.RM, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cmap.keySet == vids.toSet)
+    val clusters = cmap.groupBy(_._2).map(_._2.size)
+    assert(clusters.max <= 2)
+    val edgeSet = e.map(t => (t._1, t._2)).toSet
+    val pairs = cmap.groupBy(_._2).values.filter(_.size == 2)
+      .map(g => { val s = g.keys.toSeq.sorted; (s(0), s(1)) })
+    assert(pairs.forall(edgeSet.contains), "RM matches cross real edges only")
+    assert(pairs.nonEmpty, "RM must match something on a dense graph")
+  }
+
+  test("islands are split off and restored into underweight parts (F4)") {
+    val (e, vids) = Fixtures.withIslands(120)
+    val vw = spark.createDataFrame(vids.map(v => (v, 1L))).toDF("vid", "vwgt")
+    val k = 4
+    val r = Multilevel.partition(spark, edgesDf(e), vw, k, coarsenTo0 = 40)
+    val parts = r.assign.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(parts.keySet == vids.toSet, "islands must be assigned too")
+    assert(parts.values.forall(p => p >= 0 && p < k))
+    assert(r.imbalance <= 1.03 + 2.0 * k / vids.size + 1e-9,
+      s"imbalance ${r.imbalance} after island restore")
+  }
+
+  test("refinement respects the min-weight floor") {
+    val e = Fixtures.grid4x4
+    val vids = Fixtures.vertsOf(e)
+    val vw = spark.createDataFrame(vids.map(v => (v, 1L))).toDF("vid", "vwgt")
+    val bad = assignDf(vids.map(v => v -> (v % 2).toInt).toMap)
+    val refined = Refinement.refine(spark, edgesDf(e), vw, bad, k = 2)
+    val pw = refined.groupBy(col("part")).count().collect()
+      .map(r => r.getLong(1))
+    // target 8, ub 1.03: floor(8/1.03)=7, ceil(8*1.03)=9
+    assert(pw.forall(w => w >= 7 && w <= 9), s"part weights ${pw.mkString(",")}")
+  }
+
+  test("best-of-nruns never loses to the single run (P11)") {
+    val e = Fixtures.zipf(300)
+    val vids = Fixtures.vertsOf(e)
+    val vw = spark.createDataFrame(vids.map(v => (v, 1L))).toDF("vid", "vwgt")
+    val r1 = Multilevel.partition(spark, edgesDf(e), vw, 4, coarsenTo0 = 60)
+    val r2 = Multilevel.partition(spark, edgesDf(e), vw, 4, coarsenTo0 = 60,
+      nRuns = 2)
+    assert(r2.cut <= r1.cut,
+      s"best-of-2 (${r2.cut}) must be <= single run (${r1.cut})")
+  }
+
+  test("recursive bisection: bridge graph k=2 finds the unit cut") {
+    val e = Fixtures.twoCliques
+    val vw = spark.createDataFrame(Fixtures.vertsOf(e).map(v => (v, 1L)))
+      .toDF("vid", "vwgt")
+    val assign = Recursive.partition(spark, edgesDf(e), vw, 2)
+    val a = assign.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Oracles.cut(e, a) == 1L, "RB must find the bridge")
+  }
+
+  test("recursive bisection k=4: totality, range, quality, determinism") {
+    val e = Fixtures.zipf(300)
+    val vids = Fixtures.vertsOf(e)
+    val vw = spark.createDataFrame(vids.map(v => (v, 1L))).toDF("vid", "vwgt")
+    val k = 4
+    val a1 = Recursive.partition(spark, edgesDf(e), vw, k, coarsenTo0 = 60)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1.keySet == vids.toSet)
+    assert(a1.values.forall(p => p >= 0 && p < k))
+    assert(a1.values.toSet.size == k, "all parts used")
+    // quality: comparable to the direct k-way serial oracle
+    val g = graft.partitioner.InitialPartition.fromEdges(e.toArray,
+      vids.map((_, 1L)).toArray)
+    val oracleCut = graft.partitioner.InitialPartition.cutOf(g,
+      graft.partitioner.InitialPartition.partition(g, k, 1.03))
+    assert(Oracles.cut(e, a1) <= math.max(oracleCut * 2, oracleCut + 10),
+      s"RB cut ${Oracles.cut(e, a1)} too far above k-way oracle $oracleCut")
+    val a2 = Recursive.partition(spark, edgesDf(e), vw, k, coarsenTo0 = 60)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2, "same seed must reproduce")
+  }
+
+  test("nested dissection: output is a permutation; separator on top (W2)") {
+    val e = Fixtures.twoCliques
+    val v = vertsDf(Fixtures.vertsOf(e))
+    val perm = NestedDissection.order(spark, edgesDf(e), v, leafSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perm.keySet == Fixtures.vertsOf(e).toSet)
+    assert(perm.values.toSeq.sorted == (0L until 10L), "a permutation of 0..9")
+    // the separator of the bridge bisection is one bridge endpoint — it
+    // must take the highest label (reference perm[sep[i]] = --lastvtx)
+    val top = perm.maxBy(_._2)._1
+    assert(Set(0L, 5L).contains(top), s"top label on $top, not the bridge")
+  }
+
+  test("nested dissection distributed path: permutation + determinism") {
+    val e = Fixtures.zipf(120)
+    val vids = Fixtures.vertsOf(e)
+    val v = vertsDf(vids)
+    // tiny collectThreshold forces >= 2 distributed bisection levels
+    val p1 = NestedDissection.order(spark, edgesDf(e), v,
+      collectThreshold = 16, leafSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1.keySet == vids.toSet)
+    assert(p1.values.toSeq.sorted == vids.indices.map(_.toLong),
+      "a permutation of 0..n-1")
+    val p2 = NestedDissection.order(spark, edgesDf(e), v,
+      collectThreshold = 16, leafSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == p2, "deterministic")
+  }
+}
