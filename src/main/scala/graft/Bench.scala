@@ -61,7 +61,10 @@ object Bench {
     val scaling =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) "null"
       else {
-        val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "6000000").toLong
+        // 2M convs at density ~30 ≈ 68M edges: big enough that the kernel
+        // dominates the per-iteration fixed cost, small enough that the
+        // (untimed) graph prep at local[8] fits the round budget
+        val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "2000000").toLong
         val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "6").toInt
         try {
           val (lo, hi, eff) = Scaling.pairForked(nConv = nConv, iters = iters)

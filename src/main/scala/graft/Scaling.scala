@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{Csr, EdgeDeriver}
+import graft.operators.{Csr, CsrFast, EdgeDeriver}
 import graft.sources.Transcripts
 
 /** Two-cluster-size scaling evidence (north rule: throughput scaling
@@ -23,11 +23,33 @@ object Scaling {
     def teps: Double = 2.0 * edges * iters / seconds
   }
 
+  // The LAYOUT is identical at both parallelism levels — only the thread
+  // count varies. Scaling blocks/partitions with cpus would change the
+  // workload itself (more blocks = more duplicated rank shipping for split
+  // hubs), which is a workload comparison, not a scaling measurement; a
+  // real cluster scaling run likewise fixes the data layout and adds
+  // executors.
+  private val NumBlocks = 128
+  private val NumParts = 64
+
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      .config("spark.sql.shuffle.partitions", NumParts.toString)
+      // the measured loop is the RDD kernel — Kryo for its tuple shuffles
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // force the single-file sort shuffle writer: the default bypass-merge
+      // writer opens mapTasks×reducePartitions files per stage (8192 here)
+      // and the ~2.5 ms/file open/close overhead dwarfed the data — 10x
+      // slower iterations (NOTES.md round 2)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // tmpfs shuffle dir: this VM has ONE ~575 MB/s disk, so the ~600 MB
+      // per-iteration contribution shuffle serializes behind it at EVERY
+      // parallelism level — a sandbox artifact (a real cluster's shuffle
+      // bandwidth scales with executor count: each executor writes its own
+      // local disks). RAM-backed shuffle restores that scaling property
+      .config("spark.local.dir", "/dev/shm/graft-scaling")
       // AQE stays ON: its runtime broadcast of the per-block rank arrays is
       // what keeps the CSR blocks from being re-shuffled every iteration
       // (measured 6x slower without it)
@@ -48,37 +70,59 @@ object Scaling {
   def run(cpus: Int, nConv: Long, iters: Int, warmupIters: Int = 2): RunResult = {
     val spark = session(cpus)
     try {
-      val ts = Transcripts.synthesize(spark, nConv)
-      val dict = EdgeDeriver.vertices(ts)
-      // Plans.checkpoint, not raw localCheckpoint: the edges feed a Union
-      // (Csr symmetrize) directly above the checkpointed LogicalRDD — the
-      // Spark 4.1 stale-constraint crash shape (NOTES.md)
-      val edges = graft.plans.Plans.checkpoint(
-        EdgeDeriver.simpleGraph(EdgeDeriver.edges(ts, dict)))
-      val nE = edges.count()
-      // the headline operator: PR over edge-granular balanced CSR blocks —
-      // hub adjacency split across blocks, so no straggler task (P15);
-      // 4 blocks/core gives the scheduler room to pack
-      val blocks = Csr.buildBalanced(spark, edges, numBlocks = cpus * 4)
-      val st = Csr.prepare(spark, blocks, dict.select(col("vid")),
-        numParts = cpus * 2)
+      // longer conversations → denser link graph (SPARK_GRAFT_SCALE_TURNS;
+      // default gives avg degree ≈ 30, the regime of the reference's own
+      // OGB benchmark graphs). Density determines which cost dominates an
+      // iteration: at avg degree ~7 the O(V) narrow-row plumbing does (a
+      // memory-bandwidth cost that cannot scale on one box); at ~30+ the
+      // compute-dense CSR kernel does.
+      val maxTurns = sys.env.getOrElse("SPARK_GRAFT_SCALE_TURNS", "150").toInt
+      // prep in its own scope: after it returns, every prep DataFrame ref
+      // is dead, so the driver GC below lets the ContextCleaner delete the
+      // prep shuffle files — tens of GB that would otherwise pin the tmpfs
+      // shuffle dir (and with it, RAM) for the whole session
+      def prep(): (CsrFast.FastState, Long) = {
+        val ts = Transcripts.synthesize(spark, nConv, maxTurns = maxTurns)
+        val dict = EdgeDeriver.vertices(ts)
+        // Plans.checkpoint, not raw localCheckpoint: the edges feed a Union
+        // (Csr symmetrize) directly above the checkpointed LogicalRDD — the
+        // Spark 4.1 stale-constraint crash shape (NOTES.md)
+        val edges = graft.plans.Plans.checkpoint(
+          EdgeDeriver.simpleGraph(EdgeDeriver.edges(ts, dict)))
+        val nE = edges.count()
+        // the headline operator: PR over edge-granular balanced CSR blocks —
+        // hub adjacency split across blocks, so no straggler task (P15).
+        // CsrFast: the block-exchange loop (two dense-array shuffles per
+        // iteration, zero Catalyst in the loop) — the DataFrame path
+        // (Csr.iterate) burned ~90 CPU-s/iteration of O(V)-row plumbing
+        // that anti-scaled on one box (NOTES.md round 2); PageRankSpec
+        // asserts the two paths agree to 1e-12
+        val blocks = Csr.buildBalanced(spark, edges, numBlocks = NumBlocks)
+        val st = CsrFast.prepare(spark, blocks, dict.select(col("vid")),
+          numParts = NumParts)
+        (st, nE)
+      }
+      val (st, nE) = prep()
       val nV = st.n
-      // Csr.iterate keeps its default checkpointEvery=1 (eager per-iteration
-      // materialization) — NOTES.md measured the all-lazy plan ~2x slower.
-      // The action must consume the rank VALUES (a bare count() of the left
-      // join would let Catalyst prune the whole computation).
-      def force(df: org.apache.spark.sql.DataFrame): Double =
-        df.agg(sum(col("rank"))).head().getDouble(0)
-      force(Csr.iterate(spark, st, 0.85, warmupIters)) // JIT warmup
+      // let the ContextCleaner reap the (now unreferenced) prep lineage
+      System.gc(); Thread.sleep(3000)
+      // the action must consume the rank VALUES (a bare count would let
+      // the final stage skip the computed arrays)
+      def force(ranks: org.apache.spark.rdd.RDD[(Int, Array[Double])]): Double =
+        ranks.map(_._2.sum).sum()
+      force(CsrFast.iterate(st, 0.85, warmupIters)) // JIT warmup
       // min over trials: the sandbox VM has intermittent noisy-neighbor CPU
       // stalls; the minimum approximates true machine capacity (standard
       // practice for contended-host benchmarking)
       val trials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "3").toInt
       val sec = (1 to trials).map { t =>
         val t0 = System.nanoTime()
-        force(Csr.iterate(spark, st, 0.85, iters))
+        force(CsrFast.iterate(st, 0.85, iters))
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scaling] cpus=$cpus trial=$t ${dt}%.2fs")
+        // reap the trial's shuffle files from the tmpfs dir before the
+        // next trial (the timing above has already been taken)
+        System.gc(); Thread.sleep(1000)
         dt
       }.min
       st.unpersistAll()
@@ -158,6 +202,9 @@ object Scaling {
           s""""edges":${r.edges},"pr_iters":${r.iters},""" +
           s""""seconds":${f"${r.seconds}%.2f"},""" +
           s""""iters_per_sec":${f"${r.itersPerSec}%.3f"}}""")
+      case None if sys.env.get("SPARK_GRAFT_SCALE_FORKED").contains("1") =>
+        val (lo, hi, eff) = pairForked(nConv = nConv, iters = iters)
+        println(json(lo, hi, eff))
       case None =>
         val (lo, hi, eff) = pair(nConv = nConv, iters = iters)
         println(json(lo, hi, eff))

@@ -89,6 +89,15 @@ object SparkEntry {
           EventsGraph.vertices(s, d), 0.85, 5)
         .select(col("vid"), round(col("rank"), 6).as("rank"))
     },
+    "q_pagerank_fast" -> { (s, d) =>
+      // block-exchange RDD loop (CsrFast): zero Catalyst inside the
+      // iteration, dense-array messages over precomputed routing — must
+      // compute the exact same function as the DataFrame paths
+      val e = EventsGraph.edges(s, d)
+      graft.operators.CsrFast.pageRank(s, Csr.buildBalanced(s, e, NumRanges),
+          EventsGraph.vertices(s, d), 0.85, 5, numParts = NumRanges)
+        .select(col("vid"), round(col("rank"), 6).as("rank"))
+    },
     "q_csr_edge_stats" -> { (s, d) =>
       val e = EventsGraph.edges(s, d)
       Csr.stats(s, Csr.buildBalanced(s, e, NumRanges))
@@ -200,6 +209,47 @@ object SparkEntry {
         min(col("perm")).as("min_perm"),
         max(col("perm")).as("max_perm"))
     },
+    // vertex-separator bisection (reference par_partition_vertexseparator,
+    // src/partition.c:854; A6 separator metrics S_ser_calc_vsep
+    // src/partition.c:155-179). Hard invariants the oracle predicts:
+    // totality (3 sides cover all vertices) and violations == 0 (no A–B
+    // edge escapes the separator) — Spark computes violations from its OWN
+    // labeling, so a broken separator fails the gate
+    "q_vsep" -> { (s, d) =>
+      val e = EventsGraph.edges(s, d)
+      val v = EventsGraph.vertices(s, d)
+      val where = graft.partitioner.NestedDissection.vertexSeparator(s, e, v)
+      val m = GraphOps.vsepMetrics(e, v.withColumn("vwgt", lit(1L)), where)
+      m.select((col("n_a") + col("n_b") + col("n_sep")).as("n_total"),
+        col("violations"))
+    },
+    // A10 internal/external vertex counts (par_graph_intext_vtx,
+    // src/graph.c:3004-3042) under the deterministic pmod(vid, 4)
+    // assignment — fully recomputable in SQL, so the METRIC itself is
+    // value-gated (same pattern as q_cut_metrics_mod)
+    "q_intext" -> { (s, d) =>
+      val e = EventsGraph.edges(s, d)
+      val a = EventsGraph.vertices(s, d)
+        .select(col("vid"), pmod(col("vid"), lit(4)).cast("int").as("part"))
+      GraphOps.intExtCounts(e, a)
+    },
+    // J7+R3: boundary-subgraph extraction + serial FM on a bisection.
+    // Gate: totality + the FM invariant cut_after <= cut_before (computed
+    // by Spark over its own assignments; the oracle predicts totality and
+    // TRUE)
+    "q_boundary_fm" -> { (s, d) =>
+      val e = EventsGraph.edges(s, d)
+      val v = EventsGraph.vertices(s, d).withColumn("vwgt", lit(1L))
+      val a0 = v.select(col("vid"),
+        pmod(col("vid"), lit(2)).cast("int").as("part"))
+      val a1 = graft.partitioner.BoundaryFm.refineBisection(s, e, v, a0,
+        ubFactor = 1.10)
+      val c0 = GraphOps.edgeCut(e, a0)
+      val c1 = GraphOps.edgeCut(e, a1)
+      a1.agg(count(lit(1)).as("n_assigned"),
+          countDistinct(col("vid")).as("n_distinct"))
+        .withColumn("cut_not_worse", lit(c1 <= c0))
+    },
     "q_partition_quality" -> { (s, d) =>
       val e = EventsGraph.edges(s, d)
       val v = EventsGraph.vertices(s, d).withColumn("vwgt", lit(1L))
@@ -241,6 +291,14 @@ object SparkEntry {
           size(col("features")).cast("bigint").as("dim"))
     },
     // ---- similarity search ----
+    // embedding-cosine near-dup (the embedding leg of the dedup family):
+    // axis-sign LSH buckets are SQL-replicable, so the FULL pipeline —
+    // bucketing, candidate join, exact cosine re-rank — is value-gated.
+    // The synthetic embeddings hold no true near-dups (max cosine ≈ 0.51),
+    // so the gate takes the top-20 candidate pairs above a low τ
+    "q_embed_neardup" -> ((s, d) =>
+      Ann.cosinePairs(emb(s, d), 64, 0.2)
+        .orderBy(col("cosine").desc, col("a"), col("b")).limit(20)),
     "q_knn_brute" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 5, 10)),
     "q_knn_lsh" -> ((s, d) => Ann.lshTopK(emb(s, d), 64, 5, 10)),
     "q_knn_ivf" -> ((s, d) => Ann.ivfTopK(s, emb(s, d), 64)),
@@ -312,6 +370,7 @@ object SparkEntry {
          |GROUP BY r.range_id ORDER BY block_id""".stripMargin,
     "q_pagerank" -> PageRank.oracleSql(EC, VC, 0.85, 5, 9),
     "q_pagerank_csr" -> PageRank.oracleSql(EC, VC, 0.85, 5, 6),
+    "q_pagerank_fast" -> PageRank.oracleSql(EC, VC, 0.85, 5, 6),
     "q_csr_edge_stats" ->
       s"""WITH e_canon AS ($EC),
          |sym AS (SELECT src, dst, wgt FROM e_canon UNION ALL SELECT dst, src, wgt FROM e_canon),
@@ -384,6 +443,48 @@ object SparkEntry {
         |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)
         |SELECT n AS n_vertices, n AS n_distinct_perm,
         |       CAST(0 AS BIGINT) AS min_perm, n - 1 AS max_perm FROM n""".stripMargin,
+    "q_vsep" ->
+      """WITH n AS (
+        |  SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
+        |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)
+        |SELECT n AS n_total, CAST(0 AS BIGINT) AS violations FROM n""".stripMargin,
+    "q_intext" ->
+      s"""WITH e_canon AS ($EC), v AS ($VC),
+         |sym AS (SELECT src, dst FROM e_canon
+         |        UNION ALL SELECT dst, src FROM e_canon),
+         |ext AS (SELECT src AS vid,
+         |               MAX(CASE WHEN src % 4 <> dst % 4 THEN 1 ELSE 0 END) AS is_ext
+         |        FROM sym GROUP BY src)
+         |SELECT CAST(v.vid % 4 AS INT) AS part,
+         |       CAST(SUM(CASE WHEN COALESCE(ext.is_ext, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_internal,
+         |       CAST(SUM(COALESCE(ext.is_ext, 0)) AS BIGINT) AS n_external
+         |FROM v LEFT JOIN ext ON v.vid = ext.vid
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_boundary_fm" ->
+      """WITH n AS (
+        |  SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
+        |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)
+        |SELECT n AS n_assigned, n AS n_distinct, TRUE AS cut_not_worse FROM n""".stripMargin,
+    "q_embed_neardup" -> {
+      val bucketExpr = (0 until 8).map(j =>
+        s"(CASE WHEN embedding[tno*8+${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tbl AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS tno),
+         |b AS (SELECT vec_id, tno, ($bucketExpr) AS bucket
+         |      FROM embeddings CROSS JOIN tbl),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |         FROM b x JOIN b y
+         |           ON x.tno = y.tno AND x.bucket = y.bucket
+         |          AND x.vec_id < y.vec_id),
+         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sims AS (SELECT c.a, c.b,
+         |                ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 3) AS cosine
+         |         FROM cand c
+         |         JOIN e2 ea ON ea.vec_id = c.a
+         |         JOIN e2 eb ON eb.vec_id = c.b)
+         |SELECT a, b, cosine FROM sims WHERE cosine >= 0.2
+         |ORDER BY cosine DESC, a, b LIMIT 20""".stripMargin
+    },
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_copies

@@ -80,6 +80,48 @@ object Ann {
         col("vec_id").as("neighbor"), col("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the embedding leg of the dedup
+    * family (exact / MinHash / SimHash / n-gram Jaccard being the text
+    * legs). Candidate generation is axis-sign LSH: table `t` hashes the
+    * sign pattern of `bits` fixed dimensions (`(t*bits + j) % dim`), so two
+    * vectors collide in table `t` iff they agree on all `bits` signs — a
+    * deterministic, SQL-replicable member of the random-hyperplane family
+    * (planes = coordinate axes; valid because the embedding distribution is
+    * zero-centered per dimension). Candidates (same bucket in ≥1 table) are
+    * exact-cosine re-ranked and thresholded at `tau`.
+    *
+    * Scale shape: never all-pairs — cost is Σ|bucket|² per table, bounded
+    * by raising `bits` with corpus size (buckets = 2^bits per table).
+    * Recall for a pair at angle θ is 1-(1-p^bits)^tables with
+    * p = 1 - θ/π; raise `tables` for recall, `bits` for precision/cost.
+    */
+  def cosinePairs(embeddings: DataFrame, dim: Int, tau: Double,
+                  bits: Int = 8, tables: Int = 4,
+                  roundTo: Int = 3): DataFrame = {
+    def bucket(t: Int) = (0 until bits).map { j =>
+      val d = (t * bits + j) % dim
+      when(element_at(col("embedding"), d + 1) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val buckets = e.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(bucket): _*)))
+      .select(col("vec_id"), col("embedding"), col("pos").as("table"),
+        col("col").as("bucket"))
+    val a = buckets.select(col("table"), col("bucket"),
+      col("vec_id").as("a"), col("embedding").as("va"))
+    val b = buckets.select(col("table"), col("bucket"),
+      col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("va"), col("vb"))
+      .distinct() // a pair may collide in several tables
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) /
+          (norm(col("va")) * norm(col("vb"))), roundTo).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** IVF: driver-side k-means on a deterministic sample (Lloyd, fixed
     * iterations, seeded init) → broadcast centroids → assign each vector to
     * its nearest list → queries probe the `nprobe` nearest lists, exact
@@ -89,8 +131,15 @@ object Ann {
               nLists: Int = 16, nprobe: Int = 4, k: Int = 5,
               nQueries: Int = 10, sampleN: Int = 1000, seed: Long = 42L,
               roundTo: Int = 3): DataFrame = {
-    import scala.collection.mutable
+    // deterministic bounded sample WITHOUT a global sort of the full table:
+    // a hash filter keeps ~1.2·sampleN rows (scales as a scan), and only
+    // that small set is sorted for determinism
+    val total = embeddings.count()
+    val keepMod = 1000000L
+    val keep = math.min(keepMod,
+      math.ceil(math.min(1.0, sampleN * 1.2 / math.max(1L, total)) * keepMod).toLong)
     val sample = embeddings.select(col("vec_id"), col("embedding"))
+      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(keepMod)) < keep)
       .orderBy(col("vec_id")).limit(sampleN)
       .collect().map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
     val kk = math.min(nLists, sample.length)

@@ -93,9 +93,13 @@ object ConnectedComponents {
     * label'(v) = min(label(v), min over neighbors). SQL-replicable.
     */
   def hashMinIterations(edges: DataFrame, vertices: DataFrame, iters: Int): DataFrame = {
+    // materialized once: both sides join into every round's plan — left
+    // lazy, each round's action re-runs the whole upstream derivation
     val sym = GraphOps.symmetrize(edges).select(col("src"), col("dst"))
+      .localCheckpoint(true)
     var labels = vertices.select(col("vid")).distinct()
       .withColumn("component", col("vid"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val nbrMin = sym
         .join(labels.withColumnRenamed("vid", "src"), "src")

@@ -23,6 +23,12 @@ import scala.collection.mutable
   */
 object Csr {
 
+  /** non-negative v mod m */
+  @inline private def pmodInt(v: Long, m: Int): Int = {
+    val r = (v % m).toInt
+    if (r < 0) r + m else r
+  }
+
   /** One CSR slice. `dstVids`/`adjLocal` are the block-local destination
     * dictionary: `adjncy(j) == dstVids(adjLocal(j))` — precomputed at build
     * so per-iteration kernels accumulate into primitive arrays indexed by
@@ -111,29 +117,24 @@ object Csr {
   }
 
   /** PageRank power iteration over CSR blocks, engineered so the per-
-    * iteration data movement is O(V) rank rows — never the CSR arrays:
-    *
-    *   - blocks are hash-partitioned on blockId ONCE and persisted; the
-    *     per-iteration rank-distribution table is repartitioned to the same
-    *     (key, numPartitions) layout, so the block⋈ranks join needs no
-    *     exchange on the heavy side;
-    *   - the kernel walks the CSR arrays and partially aggregates
-    *     contributions per destination in a primitive LongMap (map-side
-    *     combine over the cache-friendly slice);
-    *   - one groupBy(dst) shuffle completes the sum — the irreducible
-    *     communication of distributed PR.
-    *
-    * Correct for split vertices ([[buildBalanced]]): wdeg is aggregated
-    * globally across blocks, and per-block partial contributions merge in
-    * the final aggregate.
+    * iteration data movement is O(V) narrow rank rows plus batched
+    * contribution arrays — never the CSR arrays themselves. Correct for
+    * split vertices ([[buildBalanced]]): wdeg is aggregated globally across
+    * blocks, and per-block partial contributions merge in the final
+    * reduce-partition map.
     */
-  /** Prepared, persisted per-iteration state. */
-  case class PrState(blocksP: Dataset[Block], wdeg: DataFrame,
-                     vidBlock: DataFrame, verts: DataFrame, n: Long,
-                     nBlocks: Int, numParts: Int) {
+  /** Prepared, persisted per-iteration state. `blocksRdd` holds the CSR
+    * blocks as DESERIALIZED JVM objects in the SQL hash(blockId) layout:
+    * caching them as Dataset rows re-paid the columnar decode of every
+    * adjacency array on EVERY iteration (~40-65 CPU-s/iter at 30M edges).
+    * Decoded once here, the kernel walks primitive arrays in place.
+    */
+  case class PrState(blocksRdd: org.apache.spark.rdd.RDD[Block],
+                     wdeg: DataFrame, vidBlock: DataFrame, verts: DataFrame,
+                     n: Long, nBlocks: Int, numParts: Int) {
     def unpersistAll(): Unit = {
       wdeg.unpersist(); vidBlock.unpersist()
-      blocksP.unpersist(); verts.unpersist()
+      blocksRdd.unpersist(); verts.unpersist()
     }
   }
 
@@ -144,11 +145,15 @@ object Csr {
       .repartition(numParts, col("vid")).persist()
     val n = verts.count()
     val nBlocks = blocks.select(max(col("blockId"))).head().getInt(0) + 1
-    val blocksP = blocks.repartition(nBlocks, col("blockId")).persist()
-    blocksP.count()
+    // SQL-hash layout (murmur3(blockId) % nBlocks) so the per-iteration
+    // shares Dataset — repartitioned identically — zips partition-for-
+    // partition with no join at all
+    val blocksRdd = blocks.repartition(nBlocks, col("blockId")).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    blocksRdd.count()
     // global weighted out-degree: per-block partial sums, then merge
     // (a vertex may be split across blocks)
-    val wdeg = blocksP.flatMap { b =>
+    val wdeg = blocksRdd.flatMap { b =>
       b.vids.indices.iterator.map { i =>
         var s = 0L
         var j = b.xadj(i)
@@ -158,27 +163,39 @@ object Csr {
     }.toDF("vid", "w").groupBy(col("vid")).agg(sum(col("w")).as("wdeg"))
       .repartition(numParts, col("vid")).persist()
 
-    // vid → owning blocks (1..k rows per vid), computed once; partitioned
+    // vid -> owning blocks (1..k rows per vid), computed once; partitioned
     // like the rank table so the per-iteration join needs no exchange
-    val vidBlock = blocksP
+    val vidBlock = blocksRdd
       .flatMap(b => b.vids.iterator.map(v => (v, b.blockId)))
       .toDF("vid", "blockId").repartition(numParts, col("vid")).persist()
     wdeg.count(); vidBlock.count()
-    PrState(blocksP, wdeg, vidBlock, verts, n, nBlocks, numParts)
+    PrState(blocksRdd, wdeg, vidBlock, verts, n, nBlocks, numParts)
   }
 
   /** `iters` power iterations over prepared state.
     *
-    * `checkpointEvery`: materialize (localCheckpoint) the rank table every k
-    * iterations — truncates lineage and bounds plan depth for long runs.
-    * 0 = never: the whole loop builds one lazy plan executed by a single
-    * action, removing the per-iteration job-submit + write barrier (right
-    * for short fixed-iteration kernels, e.g. the scaling bench).
+    * Per-iteration structure (the profile that motivated each piece is in
+    * NOTES.md "round 2"):
+    *   1. shares = ranks ⋈ wdeg ⋈ vidBlock (codegen joins over O(V) narrow
+    *      rows) repartitioned to the blocks' hash(blockId) layout;
+    *   2. kernel: zipPartitions of the deserialized Block objects with the
+    *      shares rows — no Dataset join, no columnar decode, no
+    *      collect_list boxing; contributions accumulate into primitive
+    *      arrays via the precomputed block-local dst dictionary;
+    *   3. contributions travel as ONE array row per (block, reduce
+    *      partition) — a per-destination row shuffle paid ~3 µs/row × O(E)
+    *      rows of pure memory-bandwidth overhead, exactly what refuses to
+    *      scale on one box;
+    *   4. an open-addressed primitive map merges the batches per reduce
+    *      partition (~V/numParts keys, cache-resident).
+    *
+    * `checkpointEvery`: materialize the rank table every k iterations
+    * (lineage/plan-depth bound); 0 = fully lazy.
     */
   def iterate(spark: SparkSession, st: PrState, damping: Double,
               iters: Int, checkpointEvery: Int = 1): DataFrame = {
     import spark.implicits._
-    val PrState(blocksP, wdeg, vidBlock, verts, n, nBlocks, _) = st
+    val PrState(blocksRdd, wdeg, vidBlock, verts, n, nBlocks, numParts) = st
     // iterate over CONNECTED vertices only (wdeg's key set): in a symmetric
     // graph every connected vertex receives a positive contribution each
     // round, so no per-iteration left join against the full vertex set is
@@ -186,59 +203,115 @@ object Csr {
     // once at the end.
     var ranks = wdeg.select(col("vid")).withColumn("rank", lit(1.0 / n))
     for (it <- 1 to iters) {
-      // ship each vid's share to every block holding a slice of it; the two
-      // collect_lists are order-aligned (one aggregation pass feeds both).
-      // Exchange the small (blockId, vid, share) rows BEFORE aggregating —
-      // the groupBy then runs in place on the block-aligned layout.
-      val byBlock = vidBlock
+      val sharesRdd = vidBlock
         .join(ranks.join(wdeg, "vid"), "vid")
         .select(col("blockId"), col("vid"),
           (col("rank") / col("wdeg")).cast("double").as("share"))
         .repartition(nBlocks, col("blockId"))
-        .groupBy(col("blockId"))
-        .agg(collect_list(col("vid")).as("vs"),
-          collect_list(col("share")).as("ss"))
-      val contribs = blocksP
-        .joinWith(byBlock, blocksP("blockId") === byBlock("blockId"))
-        .flatMap { case (b, row) =>
-          // all-primitive kernel: share aligned to the sorted b.vids via
-          // binary search; contributions accumulate into a double[] indexed
-          // by the precomputed block-local dst dictionary — no per-edge
-          // allocation (a boxed map here measured as GC collapse/OOM)
-          val vs = row.getSeq[Long](1)
-          val ss = row.getSeq[Double](2)
-          val share = new Array[Double](b.nvtxs)
-          var q = 0
-          while (q < vs.length) {
-            val idx = java.util.Arrays.binarySearch(b.vids, vs(q))
-            if (idx >= 0) share(idx) = ss(q)
-            q += 1
-          }
-          val acc = new Array[Double](b.dstVids.length)
-          var i = 0
-          while (i < b.nvtxs) {
-            val s = share(i)
-            if (s != 0.0) {
-              var j = b.xadj(i)
-              while (j < b.xadj(i + 1)) {
-                acc(b.adjLocal(j)) += s * b.wgts(j)
-                j += 1
-              }
+        .as[(Int, Long, Double)].rdd
+      val contribBatches = blocksRdd.zipPartitions(sharesRdd) { (bIt, sIt) =>
+        val bs = bIt.toArray
+        if (bs.isEmpty) Iterator.empty
+        else {
+          val byId = new java.util.HashMap[Integer, Integer]()
+          bs.zipWithIndex.foreach { case (b, i) => byId.put(b.blockId, i) }
+          val share = bs.map(b => new Array[Double](b.nvtxs))
+          sIt.foreach { case (bid, vid, sh) =>
+            val bi = byId.get(bid)
+            if (bi != null) {
+              val b = bs(bi)
+              val idx = java.util.Arrays.binarySearch(b.vids, vid)
+              if (idx >= 0) share(bi)(idx) = sh
             }
-            i += 1
           }
-          b.dstVids.indices.iterator
-            .filter(k => acc(k) != 0.0)
-            .map(k => (b.dstVids(k), acc(k)))
-        }.toDF("vid", "partial")
-        // pre-partition by key BEFORE the aggregate: the kernel already did
-        // map-side combining, so Spark's partial hash-agg would only build a
-        // giant (≈|V|-key) per-task map — measured to thrash memory at high
-        // parallelism. After the exchange each task aggregates ~|V|/P keys
-        // (cache-resident), and the partitioning already satisfies the
-        // grouping, so no further shuffle.
-        .repartition(st.numParts, col("vid"))
-        .groupBy(col("vid")).agg(sum(col("partial")).as("contrib"))
+          bs.iterator.zipWithIndex.flatMap { case (b, bi) =>
+            // all-primitive kernel: contributions accumulate into a
+            // double[] indexed by the precomputed block-local dst
+            // dictionary — no per-edge allocation (a boxed map here
+            // measured as GC collapse/OOM)
+            val sh = share(bi)
+            val acc = new Array[Double](b.dstVids.length)
+            var i = 0
+            while (i < b.nvtxs) {
+              val s = sh(i)
+              if (s != 0.0) {
+                var j = b.xadj(i)
+                while (j < b.xadj(i + 1)) {
+                  acc(b.adjLocal(j)) += s * b.wgts(j)
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            // batched emission: one array row per (block, reduce partition)
+            val counts = new Array[Int](numParts)
+            var k = 0
+            while (k < acc.length) {
+              if (acc(k) != 0.0) counts(pmodInt(b.dstVids(k), numParts)) += 1
+              k += 1
+            }
+            val outV = Array.tabulate(numParts)(p => new Array[Long](counts(p)))
+            val outP = Array.tabulate(numParts)(p => new Array[Double](counts(p)))
+            java.util.Arrays.fill(counts, 0)
+            k = 0
+            while (k < acc.length) {
+              if (acc(k) != 0.0) {
+                val p = pmodInt(b.dstVids(k), numParts)
+                outV(p)(counts(p)) = b.dstVids(k)
+                outP(p)(counts(p)) = acc(k)
+                counts(p) += 1
+              }
+              k += 1
+            }
+            (0 until numParts).iterator
+              .filter(p => outV(p).length > 0)
+              .map(p => (p, outV(p), outP(p)))
+          }
+        }
+      }
+      val contribs = contribBatches.toDF("rp", "vids", "partials")
+        .repartition(numParts, col("rp"))
+        // merge the array batches in an open-addressed primitive map —
+        // ~|V|/numParts distinct keys per task, cache-resident
+        .mapPartitions { it =>
+          var cap = 1 << 16
+          var mask = cap - 1
+          var keys = new Array[Long](cap)
+          var vals = new Array[Double](cap)
+          var used = new Array[Boolean](cap)
+          var size = 0
+          def grow(): Unit = {
+            val ok = keys; val ov = vals; val ou = used
+            cap <<= 1; mask = cap - 1
+            keys = new Array[Long](cap); vals = new Array[Double](cap)
+            used = new Array[Boolean](cap)
+            var i = 0
+            while (i < ok.length) {
+              if (ou(i)) {
+                var h = (ok(i) * 0x9E3779B97F4A7C15L >>> 40).toInt & mask
+                while (used(h)) h = (h + 1) & mask
+                keys(h) = ok(i); vals(h) = ov(i); used(h) = true
+              }
+              i += 1
+            }
+          }
+          def add(k: Long, v: Double): Unit = {
+            var h = (k * 0x9E3779B97F4A7C15L >>> 40).toInt & mask
+            while (used(h) && keys(h) != k) h = (h + 1) & mask
+            if (!used(h)) {
+              used(h) = true; keys(h) = k; vals(h) = v; size += 1
+              if (size * 2 > cap) grow()
+            } else vals(h) += v
+          }
+          it.foreach { r =>
+            val vs = r.getSeq[Long](1)
+            val ps = r.getSeq[Double](2)
+            var i = 0
+            while (i < vs.length) { add(vs(i), ps(i)); i += 1 }
+          }
+          (0 until cap).iterator.filter(used(_))
+            .map(h => (keys(h), vals(h)))
+        }.toDF("vid", "contrib")
       val next = contribs.select(col("vid"),
         (lit((1 - damping) / n) +
           lit(damping) * col("contrib")).as("rank"))
@@ -263,4 +336,5 @@ object Csr {
     st.unpersistAll()
     ranks
   }
+
 }

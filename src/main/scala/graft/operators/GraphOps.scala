@@ -156,6 +156,53 @@ object GraphOps {
     mx.toDouble * nparts / tot.toDouble
   }
 
+  /** Internal/external (interface) vertex counts per part (reference A10,
+    * par_graph_intext_vtx src/graph.c:3004-3042): a vertex is EXTERNAL if
+    * any neighbor lands in a different part, else internal. Vertices with
+    * no neighbors (islands) count as internal.
+    */
+  def intExtCounts(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val a = assign.select(col("vid"), col("part"))
+    val ext = symmetrize(edges)
+      .join(a.select(col("vid").as("src"), col("part").as("sp")), "src")
+      .join(a.select(col("vid").as("dst"), col("part").as("dp")), "dst")
+      .groupBy(col("src").as("vid"))
+      .agg(max(when(col("sp") =!= col("dp"), 1L).otherwise(0L)).as("is_ext"))
+    a.join(ext, Seq("vid"), "left")
+      .groupBy(col("part"))
+      .agg(sum(when(coalesce(col("is_ext"), lit(0L)) === 0L, 1L)
+          .otherwise(0L)).as("n_internal"),
+        sum(coalesce(col("is_ext"), lit(0L))).as("n_external"))
+  }
+
+  /** Vertex-separator size and balance metrics (reference A6,
+    * S_ser_calc_vsep src/partition.c:155-179) over a 3-way labeling
+    * `where(vid, side)` with side ∈ {0=A, 1=B, 2=SEP}: separator weight plus
+    * the count of VIOLATING edges (an A-B edge not covered by the
+    * separator — must be 0 for a valid separator).
+    */
+  def vsepMetrics(edges: DataFrame, vertexWgt: DataFrame,
+                  where: DataFrame): DataFrame = {
+    val w = where.select(col("vid"), col("side"))
+    val sides = w.join(vertexWgt, "vid")
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n"), sum(col("vwgt")).as("wgt"))
+      .collect().map(r => r.get(0).toString.toInt ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val violations = edges
+      .join(w.select(col("vid").as("src"), col("side").as("ss")), "src")
+      .join(w.select(col("vid").as("dst"), col("side").as("ds")), "dst")
+      .filter((col("ss") === 0 && col("ds") === 1) ||
+        (col("ss") === 1 && col("ds") === 0))
+      .count()
+    val s = edges.sparkSession
+    import s.implicits._
+    Seq((sides.getOrElse(0, (0L, 0L))._1, sides.getOrElse(1, (0L, 0L))._1,
+      sides.getOrElse(2, (0L, 0L))._1, sides.getOrElse(2, (0L, 0L))._2,
+      violations))
+      .toDF("n_a", "n_b", "n_sep", "sep_weight", "violations")
+  }
+
   /** Communication volume (reference A5, S_ser_calc_comvol
     * src/partition.c:101-144): Σ_v #distinct external parts adjacent to v.
     */

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
 object LabelPropagation {
 
   def run(edges: DataFrame, vertices: DataFrame, rounds: Int): DataFrame = {
-    val sym = GraphOps.symmetrize(edges)
+    // materialized once: joined into every round's plan (see
+    // ConnectedComponents.hashMinIterations)
+    val sym = GraphOps.symmetrize(edges).localCheckpoint(true)
     var labels = vertices.select(col("vid")).distinct()
       .withColumn("label", col("vid"))
+      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val votes = sym
         .join(labels.withColumnRenamed("vid", "src"), "src")

@@ -26,7 +26,10 @@ object PageRank {
   def run(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
           damping: Double = 0.85, maxIter: Int = 20, tol: Double = 1e-7,
           ckpt: Option[Checkpointer] = None, numParts: Int = 32): Result = {
+    // materialized once: verts joins into EVERY iteration's plan — left
+    // lazy it re-runs the whole upstream derivation per iteration
     val verts = vertices.select(col("vid")).distinct()
+      .repartition(numParts, col("vid")).persist()
     val n = verts.count()
     // out-weighted adjacency, partitioned once on the join key and cached
     val wdeg = GraphOps.symmetrize(edges)
@@ -71,7 +74,7 @@ object PageRank {
       }
       iter += 1
     }
-    adj.unpersist()
+    adj.unpersist(); verts.unpersist()
     Result(ranks.select(col("vid"), col("rank")), iter, residual)
   }
 
@@ -81,7 +84,8 @@ object PageRank {
     */
   def fixedIterations(edges: DataFrame, vertices: DataFrame,
                       damping: Double, iters: Int): DataFrame = {
-    val verts = vertices.select(col("vid")).distinct()
+    // materialized once (joined into every iteration — see run())
+    val verts = vertices.select(col("vid")).distinct().localCheckpoint(true)
     val n = verts.count()
     val wdeg = GraphOps.symmetrize(edges)
       .groupBy(col("src")).agg(sum(col("wgt")).as("wdeg"))

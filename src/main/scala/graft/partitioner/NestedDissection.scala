@@ -37,6 +37,44 @@ object NestedDissection {
       .localCheckpoint(true)
   }
 
+  /** Standalone vertex-separator bisection (reference
+    * par_partition_vertexseparator, src/partition.c:854): multilevel 2-way
+    * edge cut, then a greedy vertex cover of the cut edges becomes the
+    * separator — each cut edge contributes the endpoint covering MORE cut
+    * edges (tie-break lower vid), so one high-boundary-degree vertex
+    * replaces many singletons while the cover stays valid by construction.
+    * Returns (vid, side) with side ∈ {0=A, 1=B, 2=SEP}; invariant: no edge
+    * joins side 0 to side 1.
+    */
+  def vertexSeparator(spark: SparkSession, edges: DataFrame,
+                      vertices: DataFrame, seed: Long = 42L): DataFrame = {
+    val verts = vertices.select(col("vid"))
+    val r = Multilevel.partitionMC(spark, edges,
+      verts.select(col("vid"), array(lit(1L)).as("vwgts")), 2, ncon = 1,
+      seed = seed)
+    val ap = r.assign.select(col("vid"), col("part")).localCheckpoint(true)
+    val cutE = edges
+      .join(ap.select(col("vid").as("src"), col("part").as("sp")), "src")
+      .join(ap.select(col("vid").as("dst"), col("part").as("dp")), "dst")
+      .filter(col("sp") =!= col("dp"))
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    // per-vertex cut-edge degree (both endpoints of every cut edge)
+    val cutDeg = cutE.select(col("src").as("vid"))
+      .unionByName(cutE.select(col("dst").as("vid")))
+      .groupBy(col("vid")).agg(count(lit(1)).as("cdeg"))
+    val sep = cutE
+      .join(cutDeg.select(col("vid").as("src"), col("cdeg").as("sdeg")), "src")
+      .join(cutDeg.select(col("vid").as("dst"), col("cdeg").as("ddeg")), "dst")
+      .select(when(col("sdeg") > col("ddeg") ||
+          (col("sdeg") === col("ddeg") && col("src") < col("dst")),
+        col("src")).otherwise(col("dst")).as("vid"))
+      .distinct()
+    ap.join(sep.withColumn("insep", lit(1)), Seq("vid"), "left")
+      .select(col("vid"),
+        when(col("insep").isNotNull, lit(2)).otherwise(col("part"))
+          .cast("int").as("side"))
+  }
+
   private def recDist(spark: SparkSession, edges: DataFrame, verts: DataFrame,
                       lo: Long, collectThreshold: Long, leafSize: Int,
                       seed: Long): DataFrame = {

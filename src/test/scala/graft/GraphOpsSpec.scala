@@ -120,4 +120,42 @@ class GraphOpsSpec extends SparkSpec {
     }.sum
     assert(hubDeg == 16)
   }
+
+  test("internal/external vertex counts (A10) against a dense oracle") {
+    val e = Fixtures.zipf(120)
+    val vids = Fixtures.vertsOf(e)
+    val k = 3
+    val assign = spark.createDataFrame(vids.map(v => (v, (v % k).toInt)))
+      .toDF("vid", "part")
+    val got = GraphOps.intExtCounts(edgesDf(e), assign).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // dense oracle
+    val nbrs = vids.map(v => v -> e.collect {
+      case (s, d, _) if s == v => d
+      case (s, d, _) if d == v => s
+    }.toSet).toMap
+    val isExt = vids.map(v => v -> nbrs(v).exists(u => u % k != v % k)).toMap
+    val want = vids.groupBy(v => (v % k).toInt).map { case (p, vs) =>
+      p -> (vs.count(!isExt(_)).toLong, vs.count(isExt(_)).toLong)
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("vsep metrics (A6): separator weight + violation detection") {
+    val e = Fixtures.path8 // 0-1-2-...-7
+    val vw = spark.createDataFrame((0L to 7L).map(v => (v, v + 1)))
+      .toDF("vid", "vwgt")
+    // valid: {0..2}=A, {4..7}=B, {3}=SEP
+    val ok = spark.createDataFrame((0L to 7L).map(v =>
+      (v, if (v < 3) 0 else if (v == 3) 2 else 1))).toDF("vid", "side")
+    val m = GraphOps.vsepMetrics(edgesDf(e), vw, ok).head()
+    assert(m.getAs[Long]("n_sep") == 1L)
+    assert(m.getAs[Long]("sep_weight") == 4L)
+    assert(m.getAs[Long]("violations") == 0L)
+    // broken: move 3 to A — edge (3,4) now joins A to B
+    val broken = spark.createDataFrame((0L to 7L).map(v =>
+      (v, if (v <= 3) 0 else 1))).toDF("vid", "side")
+    assert(GraphOps.vsepMetrics(edgesDf(e), vw, broken)
+      .head().getAs[Long]("violations") == 1L)
+  }
 }

@@ -67,4 +67,24 @@ class PageRankSpec extends SparkSpec {
       Csr.pageRank(spark, Csr.buildBalanced(spark, edgesDf(e), 4),
         vertsDf(verts), 0.85, 8)), want)
   }
+
+  test("block-exchange fast path (CsrFast) computes the same ranks") {
+    val e = Fixtures.zipf(200)
+    val verts = Fixtures.vertsOf(e) :+ 9999L // incl. an isolated vertex
+    val want = Oracles.pageRank(e, verts, 0.85, 8)
+    val got = collectRanks(
+      graft.operators.CsrFast.pageRank(spark,
+        Csr.buildBalanced(spark, edgesDf(e), 4), vertsDf(verts), 0.85, 8,
+        numParts = 3))
+    assertClose(got, want)
+    // bit-exact agreement with the DataFrame CSR path (same kernel, same
+    // merge order)
+    val df = collectRanks(
+      Csr.pageRank(spark, Csr.buildBalanced(spark, edgesDf(e), 4),
+        vertsDf(verts), 0.85, 8))
+    assert(got.keySet == df.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - df(v)) <= 1e-12, s"vid $v: fast $r vs df ${df(v)}")
+    }
+  }
 }

@@ -145,6 +145,62 @@ class PartitionerExtSpec extends SparkSpec {
     assert(Set(0L, 5L).contains(top), s"top label on $top, not the bridge")
   }
 
+  test("vertex separator: valid cover, both sides non-empty, small on bridge") {
+    val e = Fixtures.twoCliques
+    val v = vertsDf(Fixtures.vertsOf(e))
+    val where = NestedDissection.vertexSeparator(spark, edgesDf(e), v)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(where.keySet == Fixtures.vertsOf(e).toSet, "totality")
+    // invariant: no A-B edge escapes the separator
+    val bad = e.filter { case (s, d, _) =>
+      (where(s) == 0 && where(d) == 1) || (where(s) == 1 && where(d) == 0)
+    }
+    assert(bad.isEmpty, s"uncovered A-B edges: $bad")
+    // bridge graph: one endpoint separates the cliques
+    assert(where.values.count(_ == 2) == 1, "separator = 1 bridge endpoint")
+    assert(where.values.count(_ == 0) >= 4 && where.values.count(_ == 1) >= 4)
+  }
+
+  test("boundary FM: extraction invariants + cut non-increase from bad split") {
+    val e = Fixtures.grid4x4
+    val vids = Fixtures.vertsOf(e)
+    val v = vertsDf(vids).withColumn("vwgt", lit(1L))
+    // interleaved-columns split: every vertex is boundary, cut = 16; the
+    // optimal left/right halving has cut 4
+    val a0 = spark.createDataFrame(vids.map(vid => (vid, (vid % 2).toInt)))
+      .toDF("vid", "part")
+    val c0 = GraphOps.edgeCut(edgesDf(e), a0)
+    val a1 = graft.partitioner.BoundaryFm.refineBisection(spark, edgesDf(e),
+      v, a0, ubFactor = 1.10)
+    val parts = a1.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(parts.keySet == vids.toSet, "totality after FM")
+    val c1 = GraphOps.edgeCut(edgesDf(e), a1)
+    assert(c1 < c0, s"FM must improve the interleaved split: $c0 -> $c1")
+    val pw = parts.values.groupBy(identity).map(_._2.size)
+    assert(pw.max <= math.ceil(vids.size / 2.0 * 1.10), "balance kept")
+  }
+
+  test("boundary FM: core super-vertices carry exact core weights") {
+    val e = Fixtures.twoCliques
+    val vids = Fixtures.vertsOf(e)
+    val v = vertsDf(vids).withColumn("vwgt", lit(1L))
+    val a = spark.createDataFrame(vids.map(vid => (vid, if (vid < 5) 0 else 1)))
+      .toDF("vid", "part")
+    val (bv, be) = graft.partitioner.BoundaryFm.extractBoundary(edgesDf(e), v, a)
+    val rows = bv.collect().map(r => r.getLong(0) -> (r.getLong(1), r.get(2).toString.toInt))
+    val m = rows.toMap
+    // boundary of the bridge split = the two bridge endpoints
+    assert(m.keySet == Set(0L, 5L, -1L, -2L), s"got ${m.keySet}")
+    assert(m(-1L)._1 == 4L && m(-2L)._1 == 4L, "core weights = 4 each")
+    // edges: bridge (0,5) kept; each endpoint's 4 clique edges collapse
+    // onto its own core super-vertex with weight 4
+    val em = be.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(em((0L, 5L)) == 1L, "bridge edge kept")
+    assert(em.view.filterKeys(k => k._1 == 0L && k._2 == -1L).values.sum == 4L ||
+      em.view.filterKeys(k => (k._1 == 0L && k._2 == -1L) || (k._1 == -1L && k._2 == 0L)).values.sum == 4L,
+      s"clique edges collapsed: $em")
+  }
+
   test("nested dissection distributed path: permutation + determinism") {
     val e = Fixtures.zipf(120)
     val vids = Fixtures.vertsOf(e)

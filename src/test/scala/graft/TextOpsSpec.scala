@@ -101,4 +101,21 @@ class TextOpsSpec extends SparkSpec {
     val top0 = res.find(r => r.getAs[Long]("qid") == 0L && r.getAs[Long]("rnk") == 1L).get
     assert(top0.getAs[Long]("neighbor") == 11L)
   }
+
+  test("embedding-cosine near-dup pairs: twin found, threshold respected") {
+    // vec 11 duplicates vec 0 (see `embeddings`): identical sign pattern →
+    // same bucket in EVERY table, cosine 1.0
+    val pairs = Ann.cosinePairs(embeddings, dim = 5, tau = 0.99,
+      bits = 3, tables = 2).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 11L &&
+        r.getAs[Double]("cosine") == 1.0), s"twin missing: ${pairs.toSeq}")
+    // every emitted pair honors the threshold and a < b
+    val all = Ann.cosinePairs(embeddings, dim = 5, tau = 0.5,
+      bits = 3, tables = 2).collect()
+    assert(all.forall(_.getAs[Double]("cosine") >= 0.5))
+    assert(all.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
+    assert(all.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).distinct.length
+      == all.length, "no duplicate pairs across tables")
+  }
 }
