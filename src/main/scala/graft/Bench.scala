@@ -38,6 +38,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxPlanStringLength", "16384")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -51,7 +52,13 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // incremental per-query evidence: a timeout still leaves every
+      // completed timing parseable from stderr (round 2 lost all 30
+      // completed timings when one query hung)
+      System.err.println(f"[bench] $name%s $sec%.3f s")
+      System.err.flush()
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -54,6 +54,7 @@ object Scaling {
       // what keeps the CSR blocks from being re-shuffled every iteration
       // (measured 6x slower without it)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxPlanStringLength", "16384")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

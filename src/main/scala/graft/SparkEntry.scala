@@ -130,6 +130,17 @@ object SparkEntry {
       val vol = GraphOps.commVolume(e, assign)
       s.createDataFrame(Seq((cut, vol))).toDF("edge_cut", "comm_volume")
     },
+    // F2 weight-ignore projection (reference -W): same cut metrics with all
+    // edge weights forced to 1 — the cut becomes an edge COUNT, which the
+    // oracle predicts independently
+    "q_cut_unweighted" -> { (s, d) =>
+      val e = GraphOps.ignoreWeights(EventsGraph.edges(s, d))
+      val assign = EventsGraph.vertices(s, d)
+        .select(col("vid"), pmod(col("vid"), lit(4L)).cast("int").as("part"))
+      val cut = GraphOps.edgeCut(e, assign)
+      val vol = GraphOps.commVolume(e, assign)
+      s.createDataFrame(Seq((cut, vol))).toDF("edge_cut", "comm_volume")
+    },
     // ---- multilevel partitioner (north rule item 3) — rows-only gate;
     //      cut/balance quality is asserted in ScalaTest vs a serial oracle
     // coarsenTo0=60 forces the full V-cycle (matching -> contraction ->
@@ -172,14 +183,30 @@ object SparkEntry {
         .select(col("n_assigned"), col("n_distinct"), col("out_of_range"),
           col("n_missing"))
     },
-    // multi-constraint partition (reference ncon>1, src/graph.h:44; the
-    // -l training-set constraint use case): c0 = unit, c1 = vid parity.
-    // Gate: totality/range plus a sanity bound on the secondary
-    // constraint's imbalance (tight balance asserted in PartitionerSpec)
+    // multi-constraint partition (reference ncon>1, src/graph.h:44) on the
+    // reference's own -l data path (src/mtmetis_bin.c:592-627): a
+    // deterministic training list is materialized as the S8 text format,
+    // read back through GraphFiles.readTrainingList, and its 0/1 in_train
+    // column becomes the SECOND balance constraint. Gate: totality/range
+    // plus a sanity bound on the train constraint's imbalance (tight
+    // balance asserted in PartitionerExtSpec)
     "q_partition_mc" -> { (s, d) =>
       val e = EventsGraph.edges(s, d)
-      val v = EventsGraph.vertices(s, d)
-        .select(col("vid"), array(lit(1L), pmod(col("vid"), lit(2L))).as("vwgts"))
+      val v0 = EventsGraph.vertices(s, d)
+      val listDir = java.nio.file.Paths.get("target", "tmp")
+      java.nio.file.Files.createDirectories(listDir)
+      val listPath = listDir.resolve(
+        s"train_list_${new java.io.File(d).getName}.txt")
+      // deterministic membership (~1/3 of vertices train) — the file IS the
+      // reference's -l input; single-node interchange format by design
+      val trainVids = v0.select(col("vid"))
+        .filter(pmod(col("vid") * lit(2654435761L), lit(97L)) < 32)
+        .orderBy(col("vid")).collect().map(_.getLong(0))
+      java.nio.file.Files.write(listPath,
+        trainVids.mkString("", "\n", "\n").getBytes)
+      val v = graft.sources.GraphFiles
+        .readTrainingList(s, listPath.toString, v0)
+        .select(col("vid"), array(lit(1L), col("in_train")).as("vwgts"))
       val r = graft.partitioner.Multilevel.partitionMC(s, e, v, 4, ncon = 2,
         coarsenTo0 = 60)
       val pw1 = r.assign.join(v, "vid").groupBy(col("part"))
@@ -301,7 +328,10 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("a"), col("b")).limit(20)),
     "q_knn_brute" -> ((s, d) => Ann.bruteForceTopK(emb(s, d), 5, 10)),
     "q_knn_lsh" -> ((s, d) => Ann.lshTopK(emb(s, d), 64, 5, 10)),
-    "q_knn_ivf" -> ((s, d) => Ann.ivfTopK(s, emb(s, d), 64)),
+    // the gated IVF variant uses the seeded SQL-replicable quantizer, so
+    // the full pipeline (centroids → lists → probe → re-rank) is value-
+    // gated; the k-means flavour (ivfTopK) is recall-tested in ScalaTest
+    "q_knn_ivf" -> ((s, d) => Ann.ivfTopKSeeded(s, emb(s, d), 64)),
     // ---- generic relational coverage (scan/filter/agg/join/window/topk) --
     "q1_agg" -> ((s, d) =>
       s.read.parquet(s"$d/lineitem.parquet")
@@ -408,6 +438,15 @@ object SparkEntry {
          |cut AS (SELECT CAST(COALESCE(SUM(wgt), 0) AS BIGINT) AS edge_cut
          |        FROM e_canon WHERE src % 4 <> dst % 4),
          |sym AS (SELECT src, dst, wgt FROM e_canon UNION ALL SELECT dst, src, wgt FROM e_canon),
+         |vol AS (SELECT CAST(COALESCE(SUM(ext), 0) AS BIGINT) AS comm_volume FROM (
+         |  SELECT src, COUNT(DISTINCT dst % 4) AS ext FROM sym
+         |  WHERE src % 4 <> dst % 4 GROUP BY src))
+         |SELECT cut.edge_cut, vol.comm_volume FROM cut, vol""".stripMargin,
+    "q_cut_unweighted" ->
+      s"""WITH e_canon AS ($EC),
+         |cut AS (SELECT CAST(COUNT(*) AS BIGINT) AS edge_cut
+         |        FROM e_canon WHERE src % 4 <> dst % 4),
+         |sym AS (SELECT src, dst FROM e_canon UNION ALL SELECT dst, src FROM e_canon),
          |vol AS (SELECT CAST(COALESCE(SUM(ext), 0) AS BIGINT) AS comm_volume FROM (
          |  SELECT src, COUNT(DISTINCT dst % 4) AS ext FROM sym
          |  WHERE src % 4 <> dst % 4 GROUP BY src))
@@ -570,6 +609,8 @@ object SparkEntry {
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
         |  CAST(8 AS BIGINT) AS dim
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_knn_lsh" -> Ann.lshOracleSql(64, 5, 10),
+    "q_knn_ivf" -> Ann.ivfSeededOracleSql(),
     "q_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sims AS (

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Plans.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.plans.Checkpointer
@@ -60,7 +61,7 @@ object ConnectedComponents {
       val next0 = largeStar(pairs)
       // localCheckpoint truncates the per-round lineage — without it the
       // plan (and driver heap) grows superlinearly with rounds
-      val next = smallStar(next0).localCheckpoint(true)
+      val next = smallStar(next0).ckpt()
       val nextSig = signature(next)
       ckpt.foreach { c => c.write("cc_pairs", round + 1, next, Double.NaN) }
       converged = nextSig == sig
@@ -96,10 +97,10 @@ object ConnectedComponents {
     // materialized once: both sides join into every round's plan — left
     // lazy, each round's action re-runs the whole upstream derivation
     val sym = GraphOps.symmetrize(edges).select(col("src"), col("dst"))
-      .localCheckpoint(true)
+      .ckpt()
     var labels = vertices.select(col("vid")).distinct()
       .withColumn("component", col("vid"))
-      .localCheckpoint(true)
+      .ckpt()
     for (_ <- 1 to iters) {
       val nbrMin = sym
         .join(labels.withColumnRenamed("vid", "src"), "src")
@@ -108,7 +109,7 @@ object ConnectedComponents {
         .select(col("vid"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-      labels = labels.localCheckpoint(true)
+      labels = labels.ckpt()
     }
     labels
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.Partitioner
 import org.apache.spark.rdd.RDD
+import graft.plans.Plans.CheckpointOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -308,7 +309,7 @@ object CsrFast {
     val st = prepare(spark, blocks, vertices, numParts)
     val n = st.n
     val ranks = toRanksDf(spark, st, iterate(st, damping, iters))
-      .localCheckpoint(true)
+      .ckpt()
     st.unpersistAll()
     vertices.select(col("vid")).distinct()
       .join(ranks, Seq("vid"), "left")

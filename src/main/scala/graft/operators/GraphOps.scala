@@ -131,6 +131,29 @@ object GraphOps {
       case ((hi, i), elseCol) => when(vidCol <= hi, lit(i)).otherwise(elseCol)
     }
 
+  /** F2 weight-ignore projection (reference `-W`,
+    * src/mtmetis_bin.c:548-562): force all edge weights to 1.
+    */
+  def ignoreWeights(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), lit(1L).as("wgt"))
+
+  /** F3 extra-constraint projection (reference `-V`,
+    * src/mtmetis_bin.c:564-590): append each vertex's degree as an
+    * additional balance-constraint column on `vertices(vid, vwgts)`.
+    */
+  def withDegreeConstraint(vertices: DataFrame, edges: DataFrame): DataFrame =
+    vertices.join(degrees(edges).select(col("vid"), col("deg")), Seq("vid"), "left")
+      .withColumn("vwgts", concat(col("vwgts"),
+        array(coalesce(col("deg"), lit(0L)))))
+      .drop("deg")
+
+  /** F3 unit-constraint projection (reference `-1`,
+    * src/mtmetis_bin.c:564-590): append a constant-1 constraint (balances
+    * vertex COUNTS alongside the existing weights).
+    */
+  def withUnitConstraint(vertices: DataFrame): DataFrame =
+    vertices.withColumn("vwgts", concat(col("vwgts"), array(lit(1L))))
+
   /** Edge-cut of an assignment (reference A4, graph_cut
     * src/graph.c:2030-2089): Σ wgt over edges whose endpoints land in
     * different parts. Canonical edges are unique so no halving needed.

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Plans.CheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -19,10 +20,10 @@ object LabelPropagation {
   def run(edges: DataFrame, vertices: DataFrame, rounds: Int): DataFrame = {
     // materialized once: joined into every round's plan (see
     // ConnectedComponents.hashMinIterations)
-    val sym = GraphOps.symmetrize(edges).localCheckpoint(true)
+    val sym = GraphOps.symmetrize(edges).ckpt()
     var labels = vertices.select(col("vid")).distinct()
       .withColumn("label", col("vid"))
-      .localCheckpoint(true)
+      .ckpt()
     for (_ <- 1 to rounds) {
       val votes = sym
         .join(labels.withColumnRenamed("vid", "src"), "src")
@@ -35,7 +36,7 @@ object LabelPropagation {
         .select(col("vid"), (-col("w.neg")).as("new_label"))
       labels = labels.join(winner, Seq("vid"), "left")
         .select(col("vid"), coalesce(col("new_label"), col("label")).as("label"))
-      labels = labels.localCheckpoint(true)
+      labels = labels.ckpt()
     }
     labels
   }

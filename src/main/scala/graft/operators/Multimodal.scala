@@ -63,6 +63,10 @@ object Multimodal {
     val nFrames = ceil(length(col("payload")).cast("double") / frameBytes)
       .cast("int")
     media.filter(col("media_type") === "video")
+      // empty payloads have no frames: Spark's sequence(0, -1) would yield
+      // the DESCENDING [0, -1] and emit a phantom frame 0, while the
+      // oracle's GENERATE_SERIES(0, -1) is empty
+      .filter(length(col("payload")) > 0)
       .withColumn("hx", upper(hex(col("payload"))))
       .withColumn("frame_idx",
         explode(filter(sequence(lit(0), nFrames - 1),

@@ -44,35 +44,48 @@ object NearDup {
        |      ch_i -> CAST(ASCII(SUBSTR($s, CAST(ch_i AS INT), 1)) AS BIGINT))),
        |  (ch_a, ch_c) -> (ch_a * $base + ch_c) % $mod)""".stripMargin
 
-  /** Distinct word-`n`-gram shingle hashes per doc: rolling hash of the
-    * space-joined shingle, in [0, P).
+  /** Distinct word-`n`-gram shingle hashes per doc: 62-bit packed pair of
+    * two INDEPENDENT rolling hashes (bases 31/131, moduli P/P2) of the
+    * space-joined shingle — `h31 + h131·2^31`. A single 31-bit hash hits
+    * birthday collisions around ~65k distinct shingles (any real corpus),
+    * silently merging unrelated shingles into the minhash sets; the packed
+    * pair pushes that to ~2^31 shingles while every value stays < 2^62
+    * (ANSI-safe) and DuckDB-replicable.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val gram = s"array_join(slice(split(text, ' '), sh_i, $n), ' ')"
     docs.selectExpr("doc_id",
       s"""explode(array_distinct(transform(
          |  sequence(1, greatest(1, size(split(text, ' ')) - ${n - 1})),
-         |  sh_i -> ${charHashSpark(gram, 31, P)}))) AS sh""".stripMargin)
+         |  sh_i -> ${charHashSpark(gram, 31, P)}
+         |          + (${charHashSpark(gram, 131, P2)}) * ${1L << 31}))) AS sh"""
+        .stripMargin)
   }
 
-  private def hashParams(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+  private def hashParams62(numHashes: Int, seed: Long): (Array[Long], Array[Long], Array[Long]) = {
     val rng = new scala.util.Random(seed)
-    val as = Array.fill(numHashes)(math.abs(rng.nextLong()) % (P - 1) + 1)
+    val a1 = Array.fill(numHashes)(math.abs(rng.nextLong()) % (P - 1) + 1)
+    val a2 = Array.fill(numHashes)(math.abs(rng.nextLong()) % (P - 1) + 1)
     val bs = Array.fill(numHashes)(math.abs(rng.nextLong()) % P)
-    require(as.forall(a => a > 0 && a < P) && bs.forall(b => b >= 0 && b < P))
-    (as, bs)
+    require(a1.forall(a => a > 0 && a < P) && a2.forall(a => a > 0 && a < P)
+      && bs.forall(b => b >= 0 && b < P))
+    (a1, a2, bs)
   }
 
-  /** MinHash signature: `numHashes` permutations h_i(x) = (a_i·x + b_i)
-    * mod p, minimum over the doc's shingle set. One aggregate pass:
-    * signature(i) = min over shingles of h_i — computed as an array-typed
-    * groupBy aggregate (zip_with of running minima).
+  /** MinHash signature: `numHashes` hash functions over the packed 62-bit
+    * shingle x = (lo, hi): h_i(x) = ((a_i·lo) mod P + (a'_i·hi) mod P + b_i)
+    * mod P — each product < 2^62 (ANSI-safe), collision ~1/P per function.
+    * One aggregate pass: signature(i) = min over shingles of h_i, computed
+    * as an array-typed groupBy aggregate (zip_with of running minima).
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
                         n: Int = 3, seed: Long = 42L): DataFrame = {
-    val (as, bs) = hashParams(numHashes, seed)
+    val (a1, a2, bs) = hashParams62(numHashes, seed)
+    val lo = col("sh").bitwiseAND(lit((1L << 31) - 1))
+    val hi = shiftright(col("sh"), 31)
     val hashArr = array((0 until numHashes).map { i =>
-      pmod(col("sh") * lit(as(i)) + lit(bs(i)), lit(P))
+      pmod(pmod(lo * lit(a1(i)), lit(P)) + pmod(hi * lit(a2(i)), lit(P))
+        + lit(bs(i)), lit(P))
     }: _*)
     shingles(docs, n)
       .select(col("doc_id"), hashArr.as("hs"))
@@ -123,11 +136,13 @@ object NearDup {
     */
   def minhashPairsOracleSql(numHashes: Int = 64, bands: Int = 16, n: Int = 3,
                             minSim: Double = 0.7, seed: Long = 42L): String = {
-    val (as, bs) = hashParams(numHashes, seed)
+    val (a1, a2, bs) = hashParams62(numHashes, seed)
     val r = numHashes / bands
     val gram = s"ARRAY_TO_STRING(LIST_SLICE(w, sh_i, sh_i + ${n - 1}), ' ')"
     val sigCols = (0 until numHashes).map(i =>
-      s"MIN((sh * ${as(i)} + ${bs(i)}) % $P) AS h$i").mkString(",\n    ")
+      s"MIN((((sh & ${(1L << 31) - 1}) * ${a1(i)}) % $P" +
+        s" + ((sh >> 31) * ${a2(i)}) % $P + ${bs(i)}) % $P) AS h$i")
+      .mkString(",\n    ")
     val bandEq = (0 until bands).map { b =>
       (0 until r).map(j => s"a.h${b * r + j} = b.h${b * r + j}")
         .mkString("(", " AND ", ")")
@@ -142,7 +157,8 @@ object NearDup {
        |    sh_i -> $gram)) AS g
        |  FROM ws),
        |sh0 AS (SELECT DISTINCT doc_id,
-       |    ${charHashDuck("g", 31, P)} AS sh
+       |    ${charHashDuck("g", 31, P)}
+       |    + (${charHashDuck("g", 131, P2)}) * ${1L << 31} AS sh
        |  FROM grams),
        |sig AS (SELECT doc_id,
        |    $sigCols

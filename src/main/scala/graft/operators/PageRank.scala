@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Plans.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.plans.Checkpointer
@@ -85,7 +86,7 @@ object PageRank {
   def fixedIterations(edges: DataFrame, vertices: DataFrame,
                       damping: Double, iters: Int): DataFrame = {
     // materialized once (joined into every iteration — see run())
-    val verts = vertices.select(col("vid")).distinct().localCheckpoint(true)
+    val verts = vertices.select(col("vid")).distinct().ckpt()
     val n = verts.count()
     val wdeg = GraphOps.symmetrize(edges)
       .groupBy(col("src")).agg(sum(col("wgt")).as("wdeg"))
@@ -103,7 +104,7 @@ object PageRank {
         .select(col("vid"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-      ranks = ranks.localCheckpoint(true)
+      ranks = ranks.ckpt()
     }
     adj.unpersist()
     ranks

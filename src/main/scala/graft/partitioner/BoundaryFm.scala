@@ -1,5 +1,6 @@
 package graft.partitioner
 
+import graft.plans.Plans.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.GraphOps
@@ -46,7 +47,7 @@ object BoundaryFm {
       .join(a.select(col("vid").as("src"), col("part").as("sp")), "src")
       .join(a.select(col("vid").as("dst"), col("part").as("dp")), "dst")
     val bnd = lab.filter(col("sp") =!= col("dp"))
-      .select(col("src").as("vid")).distinct().localCheckpoint(true)
+      .select(col("src").as("vid")).distinct().ckpt()
     val vw = vertices.select(col("vid"), col("vwgt"))
     val bndV = vw.join(bnd, "vid").join(a, "vid")
       .select(col("vid"), col("vwgt"), col("part"))
@@ -124,7 +125,7 @@ object BoundaryFm {
     assign.join(movedDf, Seq("vid"), "left")
       .select(col("vid"),
         coalesce(col("newpart"), col("part")).cast("int").as("part"))
-      .localCheckpoint(true)
+      .ckpt()
   }
 
   /** R2 hill-scanning pass (reference S_par_kwayrefine_HS

@@ -1,5 +1,6 @@
 package graft.partitioner
 
+import graft.plans.Plans.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.GraphOps
@@ -70,21 +71,35 @@ object Multilevel {
                   seed: Long = 42L, nRuns: Int = 1,
                   targets: Array[Double] = null,
                   serialRefineThreshold: Long = 4096L,
+                  serialGraphVertices: Long = 50000L,
+                  serialGraphEdges: Long = 2000000L,
                   ckpt: Option[Checkpointer] = None): PartitionResult = {
     val tgt = if (targets != null) targets else Array.fill(k)(1.0 / k)
     val coarsenTo = if (coarsenTo0 > 0) coarsenTo0 else math.max(30 * k, 200)
+    // materialize both inputs ONCE (stats-free checkpoint), so the dispatch
+    // counts, the island split, and (on the serial path) the collects never
+    // re-derive the upstream plan
     val allVerts = vertices0.select(col("vid"), col("vwgts"))
-      .localCheckpoint(true)
-    if (allVerts.isEmpty)
+      .ckpt()
+    val allEdges = edges0.select(col("src"), col("dst"), col("wgt"))
+      .ckpt()
+    val nAll = allVerts.count()
+    if (nAll == 0)
       return PartitionResult(
         spark.createDataFrame(Seq.empty[(Long, Int)]).toDF("vid", "part"),
         0L, 1.0, 0)
+    // serial whole-graph dispatch (the reference runs serial METIS whenever
+    // the graph is small, src/imetis.c:147-223): a distributed V-cycle on a
+    // gatherable graph is pure scheduling overhead — collect once, solve in
+    // the driver, parallelize only the result
+    if (nAll <= serialGraphVertices && allEdges.count() <= serialGraphEdges)
+      return partitionSerialWhole(spark, allEdges, allVerts, k, ncon, ubFactor,
+        coarsenTo, stopRatio, seed, nRuns, tgt, ckpt)
     // F4: degree-0 islands skip the V-cycle entirely
-    val (connected0, islands) = GraphOps.splitIslands(allVerts, edges0)
-    var edges = edges0.select(col("src"), col("dst"), col("wgt"))
-      .localCheckpoint(true)
+    val (connected0, islands) = GraphOps.splitIslands(allVerts, allEdges)
+    var edges = allEdges
     var vertices = connected0.select(col("vid"), col("vwgts"))
-      .localCheckpoint(true)
+      .ckpt()
     var nvtxs = vertices.count()
     def wc(c: Int) = element_at(col("vwgts"), c + 1)
     val tvCols = (0 until ncon).map(c => sum(wc(c)).as(s"t$c"))
@@ -109,8 +124,8 @@ object Multilevel {
       }
       levelSeed += 1
       val (ce, cv) = Contraction.contractMC(edges, vertices, cmap, ncon)
-      val cEdges = ce.localCheckpoint(true)
-      val cVerts = cv.localCheckpoint(true)
+      val cEdges = ce.ckpt()
+      val cVerts = cv.ckpt()
       val cn = cVerts.count()
       ckpt.foreach(c => c.write(s"mlevel_cmap_l${levels.size}", 0, cmap))
       shrinking = cn.toDouble / nvtxs <= stopRatio
@@ -141,7 +156,7 @@ object Multilevel {
         seed + 7919L * run, targets = tgt)
       var assign = spark.createDataFrame(
         g.vids.zip(where0).toSeq.map { case (v, p) => (v, p) }
-      ).toDF("vid", "part").localCheckpoint(true)
+      ).toDF("vid", "part").ckpt()
 
       // uncoarsen: project + refine per level, finest last. The coarsest
       // level needs no distributed refine — InitialPartition.refineGreedy
@@ -153,7 +168,7 @@ object Multilevel {
         val projected = lvl.cmap
           .join(assign.withColumnRenamed("vid", "coarse"), "coarse")
           .select(col("vid"), col("part"))
-          .localCheckpoint(true)
+          .ckpt()
         assign =
           if (lvl.nvtxs <= serialRefineThreshold)
             serialRefine(spark, lvl, projected, k, ncon, ubFactor, tgt)
@@ -176,7 +191,82 @@ object Multilevel {
     val cut = GraphOps.edgeCut(finestEdges, fullAssign)
     val scalarVerts = allVerts.select(col("vid"), wc(0).as("vwgt"))
     val imb = imbalanceTargets(fullAssign, scalarVerts, tgt, tv(0))
-    PartitionResult(fullAssign.localCheckpoint(true), cut, imb, levels.size)
+    PartitionResult(fullAssign.ckpt(), cut, imb, levels.size)
+  }
+
+  /** Whole-graph serial dispatch: gather the (small) graph, run the entire
+    * V-cycle in the driver ([[SerialMultilevel]]), fill islands
+    * deficit-proportionally, compute metrics serially — ZERO Spark jobs
+    * beyond the two collects and the final parallelize (the reference's
+    * serial-METIS small-graph rule, src/imetis.c:147-223).
+    */
+  private def partitionSerialWhole(spark: SparkSession, edges0: DataFrame,
+                                   vertices0: DataFrame, k: Int, ncon: Int,
+                                   ubFactor: Double, coarsenTo: Int,
+                                   stopRatio: Double, seed: Long, nRuns: Int,
+                                   tgt: Array[Double],
+                                   ckpt: Option[Checkpointer]): PartitionResult = {
+    val vArr = vertices0.select(col("vid"), col("vwgts")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val eArr = edges0.select(col("src"), col("dst"), col("wgt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val tv = new Array[Long](ncon)
+    vArr.foreach { case (_, ws) =>
+      var c = 0
+      while (c < ncon) { tv(c) += ws(c); c += 1 }
+    }
+    // F4: split degree-0 islands off the V-cycle
+    val touched = new scala.collection.mutable.HashSet[Long]
+    eArr.foreach { case (s, d, _) => touched += s; touched += d }
+    val (conn, isl) = vArr.partition(v => touched(v._1))
+    val (whereConn, nLevels) =
+      if (conn.isEmpty) (Array.empty[Int], 0)
+      else {
+        val g = InitialPartition.fromEdgesMC(eArr, conn, ncon)
+        SerialMultilevel.partition(g, k, ubFactor, coarsenTo, stopRatio,
+          seed, nRuns, tgt)
+      }
+    val connVids = conn.map(_._1)
+    val pwgt = new Array[Long](k)
+    conn.indices.foreach(i => pwgt(whereConn(i)) += conn(i)._2(0))
+    // F4 restore, serial mirror of [[restoreIslands]]: islands (vid order,
+    // cumulative primary weight) cut into k contiguous runs sized by each
+    // part's weight deficit vs target
+    val islWhere = new Array[Int](isl.length)
+    if (isl.nonEmpty) {
+      val totalIsland = isl.map(_._2(0)).sum
+      val deficits = (0 until k).map(p =>
+        math.max(0.0, tgt(p) * tv(0) - pwgt(p)))
+      val defSum = deficits.sum
+      val shares =
+        if (defSum > 0) deficits.map(_ / defSum) else tgt.toIndexedSeq
+      val cumBounds = shares.scanLeft(0.0)(_ + _).tail
+        .map(f => math.ceil(f * totalIsland).toLong).toArray
+      var cum = 0L
+      isl.indices.foreach { i =>
+        cum += isl(i)._2(0)
+        var p = 0
+        while (p < k - 1 && cum > cumBounds(p)) p += 1
+        islWhere(i) = p
+        pwgt(p) += isl(i)._2(0)
+      }
+    }
+    // serial metrics (A4 cut over canonical edges; A7 imbalance vs targets)
+    val whereOf = new scala.collection.mutable.HashMap[Long, Int]
+    connVids.indices.foreach(i => whereOf(connVids(i)) = whereConn(i))
+    isl.indices.foreach(i => whereOf(isl(i)._1) = islWhere(i))
+    var cut = 0L
+    eArr.foreach { case (s, d, w) => if (whereOf(s) != whereOf(d)) cut += w }
+    val imb =
+      if (tv(0) == 0) 1.0
+      else (0 until k).map(p => pwgt(p).toDouble / (tgt(p) * tv(0))).max
+    val rows = vArr.map { case (v, _) => (v, whereOf(v)) }.toIndexedSeq
+    val assign = graft.plans.Plans.checkpoint(
+      spark.createDataFrame(rows).toDF("vid", "part")
+        .select(col("vid"), col("part").cast("int").as("part")))
+    ckpt.foreach(c => c.write("mlevel_serial_assign", 0, assign, cut.toDouble))
+    PartitionResult(assign, cut, imb, nLevels)
   }
 
   /** Serial refinement of one gathered sub-threshold level (the
@@ -201,7 +291,7 @@ object Multilevel {
       targets = tgt)
     spark.createDataFrame(
       g.vids.zip(refined).toSeq.map { case (v, p) => (v, p) })
-      .toDF("vid", "part").localCheckpoint(true)
+      .toDF("vid", "part").ckpt()
   }
 
   /** max_p pwgt(p) / (targets(p)·tvwgt) — imbalance under target fractions
@@ -243,9 +333,12 @@ object Multilevel {
       if (defSum > 0) deficits.map(_ / defSum) else tgt.toIndexedSeq
     val cumBounds = shares.scanLeft(0.0)(_ + _).tail
       .map(f => math.ceil(f * totalIsland).toLong).toArray
+    // FULL cumBounds (cum ≤ cumBounds.last == ceil(totalIsland) always
+    // holds): passing .init made rangeIdFor's fallback index k-2, so part
+    // k-1 never received islands (for k=2, part 1 got none)
     val islandAssign = GraphOps.cumDegByVid(iw)
       .select(col("vid"),
-        GraphOps.rangeIdFor(col("cum"), cumBounds.init).cast("int").as("part"))
+        GraphOps.rangeIdFor(col("cum"), cumBounds).cast("int").as("part"))
     coreAssign.select(col("vid"), col("part").cast("int").as("part"))
       .unionByName(islandAssign)
   }

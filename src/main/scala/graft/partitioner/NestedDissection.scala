@@ -1,5 +1,6 @@
 package graft.partitioner
 
+import graft.plans.Plans.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.GraphOps
@@ -30,11 +31,11 @@ object NestedDissection {
   def order(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
             collectThreshold: Long = 4096, leafSize: Int = 32,
             seed: Long = 42L): DataFrame = {
-    val verts = vertices.select(col("vid")).localCheckpoint(true)
+    val verts = vertices.select(col("vid")).ckpt()
     val es = edges.select(col("src"), col("dst"), col("wgt"))
-      .localCheckpoint(true)
+      .ckpt()
     recDist(spark, es, verts, 0L, collectThreshold, leafSize, seed)
-      .localCheckpoint(true)
+      .ckpt()
   }
 
   /** Standalone vertex-separator bisection (reference
@@ -52,12 +53,12 @@ object NestedDissection {
     val r = Multilevel.partitionMC(spark, edges,
       verts.select(col("vid"), array(lit(1L)).as("vwgts")), 2, ncon = 1,
       seed = seed)
-    val ap = r.assign.select(col("vid"), col("part")).localCheckpoint(true)
+    val ap = r.assign.select(col("vid"), col("part")).ckpt()
     val cutE = edges
       .join(ap.select(col("vid").as("src"), col("part").as("sp")), "src")
       .join(ap.select(col("vid").as("dst"), col("part").as("dp")), "dst")
       .filter(col("sp") =!= col("dp"))
-      .select(col("src"), col("dst")).localCheckpoint(true)
+      .select(col("src"), col("dst")).ckpt()
     // per-vertex cut-edge degree (both endpoints of every cut edge)
     val cutDeg = cutE.select(col("src").as("vid"))
       .unionByName(cutE.select(col("dst").as("vid")))
@@ -69,10 +70,14 @@ object NestedDissection {
           (col("sdeg") === col("ddeg") && col("src") < col("dst")),
         col("src")).otherwise(col("dst")).as("vid"))
       .distinct()
-    ap.join(sep.withColumn("insep", lit(1)), Seq("vid"), "left")
+    val cover = ap.join(sep.withColumn("insep", lit(1)), Seq("vid"), "left")
       .select(col("vid"),
         when(col("insep").isNotNull, lit(2)).otherwise(col("part"))
           .cast("int").as("side"))
+    // FM-shrink the cover (reference par_vseprefine,
+    // src/vseprefine.c:2380-2534): smaller separators = less fill
+    SeparatorRefine.refine(spark, edges, cover,
+      verts.select(col("vid"), lit(1L).as("vwgt")))
   }
 
   private def recDist(spark: SparkSession, edges: DataFrame, verts: DataFrame,
@@ -94,7 +99,7 @@ object NestedDissection {
     val r = Multilevel.partitionMC(spark, edges,
       verts.select(col("vid"), array(lit(1L)).as("vwgts")), 2, ncon = 1,
       seed = seed)
-    val a = r.assign.localCheckpoint(true)
+    val a = r.assign.ckpt()
     // vertex separator: side-0 endpoints of cut edges (a vertex cover of
     // the boundary)
     val ap = a.select(col("vid"), col("part"))
@@ -104,21 +109,66 @@ object NestedDissection {
       .filter(col("sp") =!= col("dp"))
     val sep = cutE.select(when(col("sp") === 0, col("src"))
         .otherwise(col("dst")).as("vid")).distinct()
-      .localCheckpoint(true)
+      .ckpt()
     val nSep = sep.count()
-    if (nSep == 0 || nSep == n) {
-      // disconnected or degenerate bisection: gather this block and order
-      // it serially (collectThreshold = n forces the leaf path)
+    if (nSep == 0) {
+      // no cut edges: the two sides are mutually disconnected — a perfect
+      // split already; recurse on the halves with an empty separator.
+      // (Previously this forced a whole-block driver gather at ANY size —
+      // an OOM risk for graphs with huge disconnected components.)
+      val va = verts.join(ap.filter(col("part") === 0).select(col("vid")),
+        "vid").ckpt()
+      val vb = verts.join(ap.filter(col("part") === 1).select(col("vid")),
+        "vid").ckpt()
+      val na = va.count()
+      if (na == 0 || na == n) {
+        // bisection put everything on one side: split by vid median instead
+        // (stays distributed; any split of a cut-free block is valid)
+        val mid = verts.stat.approxQuantile("vid", Array(0.5), 0.001)(0)
+        val vlo = verts.filter(col("vid") <= mid).ckpt()
+        val vhi = verts.filter(col("vid") > mid).ckpt()
+        val nlo = vlo.count()
+        if (nlo == 0 || nlo == n)
+          return recDist(spark, edges, verts, lo, n, leafSize, seed) // tiny
+        def sub(vs: DataFrame) = edges
+          .join(vs.select(col("vid").as("src")), Seq("src"), "left_semi")
+          .join(vs.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+          .ckpt()
+        return recDist(spark, sub(vlo), vlo, lo, collectThreshold, leafSize,
+            seed * 31 + 3)
+          .unionByName(recDist(spark, sub(vhi), vhi, lo + nlo,
+            collectThreshold, leafSize, seed * 31 + 4))
+      }
+      def sub(vs: DataFrame) = edges
+        .join(vs.select(col("vid").as("src")), Seq("src"), "left_semi")
+        .join(vs.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+        .ckpt()
+      return recDist(spark, sub(va), va, lo, collectThreshold, leafSize,
+          seed * 31 + 1)
+        .unionByName(recDist(spark, sub(vb), vb, lo + na, collectThreshold,
+          leafSize, seed * 31 + 2))
+    }
+    if (nSep == n) {
+      // degenerate: everything became separator — gather and order serially
       return recDist(spark, edges, verts, lo, n, leafSize, seed)
     }
+    // FM-shrink the cover before splitting (reference par_vseprefine,
+    // src/vseprefine.c:2380-2534); the refined 3-way labels define the
+    // halves directly
+    val lbl = SeparatorRefine.refine(spark, edges,
+      ap.join(sep.withColumn("insep", lit(1)), Seq("vid"), "left")
+        .select(col("vid"),
+          when(col("insep").isNotNull, lit(2)).otherwise(col("part"))
+            .cast("int").as("side")),
+      verts.select(col("vid"), lit(1L).as("vwgt"))).ckpt()
+    val sepR = lbl.filter(col("side") === 2).select(col("vid")).ckpt()
     def side(p: Int): (DataFrame, DataFrame) = {
       val vs = verts
-        .join(ap.filter(col("part") === p).select(col("vid")), "vid")
-        .join(sep, Seq("vid"), "left_anti").localCheckpoint(true)
+        .join(lbl.filter(col("side") === p).select(col("vid")), "vid").ckpt()
       val e = edges
         .join(vs.select(col("vid").as("src")), Seq("src"), "left_semi")
         .join(vs.select(col("vid").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint(true)
+        .ckpt()
       (vs, e)
     }
     val (v0, e0) = side(0)
@@ -129,7 +179,7 @@ object NestedDissection {
     val pB = recDist(spark, e1, v1, lo + n0, collectThreshold, leafSize,
       seed * 31 + 2)
     // W2: separator gets the top labels [lo+n0+n1, lo+n), by vid order
-    val pS = GraphOps.cumDegByVid(sep.withColumn("deg", lit(1L)))
+    val pS = GraphOps.cumDegByVid(sepR.withColumn("deg", lit(1L)))
       .select(col("vid"), (lit(lo + n0 + n1 - 1) + col("cum")).as("perm"))
     pA.unionByName(pB).unionByName(pS)
   }

@@ -1,5 +1,6 @@
 package graft.partitioner
 
+import graft.plans.Plans.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,11 +21,11 @@ object Recursive {
   def partition(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
                 k: Int, ubFactor: Double = 1.03, seed: Long = 42L,
                 coarsenTo0: Int = 0): DataFrame = {
-    val verts = vertices.select(col("vid"), col("vwgt")).localCheckpoint(true)
+    val verts = vertices.select(col("vid"), col("vwgt")).ckpt()
     val es = edges.select(col("src"), col("dst"), col("wgt"))
-      .localCheckpoint(true)
+      .ckpt()
     rec(spark, es, verts, k, ubFactor, seed, coarsenTo0, offset = 0)
-      .localCheckpoint(true)
+      .ckpt()
   }
 
   private def rec(spark: SparkSession, edges: DataFrame, verts: DataFrame,
@@ -38,16 +39,16 @@ object Recursive {
       verts.select(col("vid"), array(col("vwgt")).as("vwgts")),
       2, ncon = 1, ubFactor = ub, coarsenTo0 = coarsenTo0, seed = seed,
       targets = Array(k1.toDouble / k, k2.toDouble / k))
-    val a = r.assign.localCheckpoint(true)
+    val a = r.assign.ckpt()
     // J6 halves extraction: vertices of the side, edges with BOTH endpoints
     // inside (two semi-joins)
     def half(side: Int): (DataFrame, DataFrame) = {
       val vs = verts.join(a.filter(col("part") === side).select(col("vid")),
-        "vid").localCheckpoint(true)
+        "vid").ckpt()
       val es = edges
         .join(vs.select(col("vid").as("src")), Seq("src"), "left_semi")
         .join(vs.select(col("vid").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"), col("wgt")).localCheckpoint(true)
+        .select(col("src"), col("dst"), col("wgt")).ckpt()
       (vs, es)
     }
     val (v0, e0) = half(0)

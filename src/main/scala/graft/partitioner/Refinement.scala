@@ -1,5 +1,6 @@
 package graft.partitioner
 
+import graft.plans.Plans.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -98,7 +99,7 @@ object Refinement {
       (cut, imb)
     }
 
-    var best = assign0.select(col("vid"), col("part")).localCheckpoint(true)
+    var best = assign0.select(col("vid"), col("part")).ckpt()
     var bestCut = GraphOps.edgeCut(edges, best)
     var cur = best
     var pass = 0
@@ -145,6 +146,24 @@ object Refinement {
           val p = r.get(0).toString.toInt
           (0 until ncon).foreach(c => pw(p)(c) = r.getLong(c + 1))
         }
+        // pre-truncate to the top-`admitCap` gains per (part, hash bucket):
+        // the exact per-part prefix windows below are single-task per part —
+        // fine once bounded, a straggler if the boundary is O(V). Dropping
+        // low-gain candidates only SHRINKS the admitted set (the feasibility
+        // prefixes shrink with it), so admitted move sets stay jointly
+        // feasible; dropped candidates get later passes.
+        val admitBuckets = 32
+        val admitCap = 1024
+        val bkt = pmod(xxhash64(col("vid")), lit(admitBuckets))
+        val wPreTo = Window.partitionBy(col("to"), col("bkt"))
+          .orderBy(col("gain").desc, col("vid"))
+        val wPreFrom = Window.partitionBy(col("from"), col("bkt"))
+          .orderBy(col("gain").desc, col("vid"))
+        val capped = cand.withColumn("bkt", bkt)
+          .withColumn("rTo", row_number().over(wPreTo))
+          .withColumn("rFrom", row_number().over(wPreFrom))
+          .filter(col("rTo") <= admitCap && col("rFrom") <= admitCap)
+          .drop("bkt", "rTo", "rFrom")
         val wTo = Window.partitionBy(col("to"))
           .orderBy(col("gain").desc, col("vid"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -157,7 +176,7 @@ object Refinement {
           (sum(wc(c)).over(wFrom) <=
             byPart(col("from"), p => pw(p)(c) - minW(p)(c)))
         }.reduce(_ && _)
-        val admitted = cand
+        val admitted = capped
           .withColumn("ok", okCond)
           .filter(col("ok"))
           .select(col("vid"), col("to"))

@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.plans.Plans.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardOpenOption}
@@ -94,7 +95,7 @@ final class Checkpointer(spark: SparkSession, root: String) {
       state =
         if (i % every == 0 || i == maxIter || residual <= tol)
           write(step, i, next, residual)
-        else { val c = next.localCheckpoint(true); c }
+        else { val c = next.ckpt(); c }
       i += 1
     }
     state

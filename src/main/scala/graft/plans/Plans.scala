@@ -1,30 +1,36 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftSqlInternals}
 
 /** Plan-hygiene helpers. */
 object Plans {
 
-  /** Eager localCheckpoint that materializes with constraint propagation
-    * disabled. Spark 4.1's `LogicalRDD.rewriteStatsAndConstraints` rewrites
-    * the checkpointed plan's constraints with `getOrElse(attr, attr)` — any
-    * constraint attribute that is not in the plan's output survives stale,
-    * and the next Union above the checkpoint throws
-    * `NoSuchElementException: key not found` from
-    * `UnionBase.rewriteConstraints` (observed on iterated
-    * union→checkpoint→union chains, e.g. matching rounds). Materializing
-    * with propagation off stores an empty constraint set on the LogicalRDD;
-    * downstream plans re-derive what they need.
+  /** Eager local checkpoint that strips inherited plan state. Spark 4.1's
+    * `localCheckpoint` keeps the origin plan's constraints AND statistics on
+    * the resulting `LogicalRDD`:
+    *
+    *  - stale constraints crash the next `Union` above the checkpoint
+    *    (`NoSuchElementException: key not found` from
+    *    `UnionBase.rewriteConstraints`, observed on iterated
+    *    union→checkpoint→union chains, e.g. matching rounds);
+    *  - inherited `sizeInBytes` compounds MULTIPLICATIVELY through every
+    *    join of every V-cycle level — by ~8 levels the BigInt has ~10^5
+    *    digits and rendering the plan string for the SQL-execution event
+    *    costs minutes of driver-side BigInteger arithmetic per action
+    *    (the round-2 bench killer).
+    *
+    * [[GraftSqlInternals.statlessLocalCheckpoint]] materializes the same
+    * way but rebuilds the frame from the checkpointed internal rows, so the
+    * new `LogicalRDD` is born with no constraints and default leaf
+    * statistics (AQE supplies real runtime sizes where they matter).
+    *
+    * Use this for EVERY DataFrame checkpoint inside iterative loops.
     */
-  def checkpoint(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val key = "spark.sql.constraintPropagation.enabled"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try df.localCheckpoint(eager = true)
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+  def checkpoint(df: DataFrame): DataFrame =
+    GraftSqlInternals.statlessLocalCheckpoint(df)
+
+  /** Chaining sugar: `df.select(...).ckpt()`. */
+  implicit final class CheckpointOps(private val df: DataFrame) extends AnyVal {
+    def ckpt(): DataFrame = checkpoint(df)
   }
 }

@@ -1,0 +1,40 @@
+package org.apache.spark.sql
+
+/** Minimal `private[sql]`-scope shim (this file lives in the
+  * `org.apache.spark.sql` package for access, nothing else).
+  *
+  * Why it exists: Spark 4.1's `Dataset.localCheckpoint` produces a
+  * `LogicalRDD` that KEEPS the origin plan's `Statistics` and constraints
+  * (`LogicalRDD.rewriteStatsAndConstraints`). Two failure modes follow:
+  *
+  *  1. stale constraints: a constraint attribute absent from the output
+  *     survives the rewrite and the next `Union` above the checkpoint
+  *     throws `NoSuchElementException` from `UnionBase.rewriteConstraints`;
+  *  2. compounding statistics: `sizeInBytes` is the PRODUCT of the join
+  *     inputs' sizes, so checkpoint→join→checkpoint chains (a multilevel
+  *     V-cycle) grow it exponentially with depth until the BigInt has
+  *     ~10^5 digits and merely RENDERING the plan string for the SQL
+  *     execution event costs minutes of BigInteger arithmetic
+  *     (`Statistics.simpleString → Utils.bytesToString`), with zero
+  *     executor tasks running.
+  *
+  * [[statlessLocalCheckpoint]] materializes the plan the same way
+  * (RDD local checkpoint of the internal rows) but rebuilds the DataFrame
+  * via `internalCreateDataFrame`, whose `LogicalRDD` carries NO origin
+  * statistics and NO constraints — each checkpoint is a fresh leaf, so
+  * stats reset to the default leaf estimate and AQE supplies real runtime
+  * sizes where they matter.
+  */
+object GraftSqlInternals {
+
+  def statlessLocalCheckpoint(df: Dataset[Row]): Dataset[Row] = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = cdf.sparkSession
+    // copy: whole-stage codegen reuses its UnsafeRow buffer; caching
+    // references without copying would alias every row in a partition
+    val rdd = cdf.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count() // eager materialization
+    spark.internalCreateDataFrame(rdd, cdf.schema)
+  }
+}

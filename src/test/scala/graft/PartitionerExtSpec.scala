@@ -201,6 +201,96 @@ class PartitionerExtSpec extends SparkSpec {
       s"clique edges collapsed: $em")
   }
 
+  test("training-list constraint (S8 -l): in_train balanced end-to-end") {
+    val e = Fixtures.zipf(300)
+    val vids = Fixtures.vertsOf(e)
+    val k = 4
+    // the reference's -l input: a text file of train vertex ids
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target", "tmp"))
+    val path = dir.resolve("spec_train_list.txt")
+    val train = vids.filter(v => v * 2654435761L % 97 < 32)
+    java.nio.file.Files.write(path, train.mkString("", "\n", "\n").getBytes)
+    val v = graft.sources.GraphFiles.readTrainingList(spark, path.toString,
+        vertsDf(vids))
+      .select(col("vid"), array(lit(1L), col("in_train")).as("vwgts"))
+    val r = Multilevel.partitionMC(spark, edgesDf(e), v, k, ncon = 2,
+      coarsenTo0 = 60)
+    val parts = r.assign.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(parts.keySet == vids.toSet, "totality")
+    // the train constraint must balance within ub + integrality allowance
+    val tv1 = train.size.toDouble
+    val pw1 = (0 until k).map(p => train.count(parts(_) == p).toDouble)
+    assert(pw1.max * k / tv1 <= 1.03 + 2.0 * k / tv1 + 1e-9,
+      s"train imbalance ${pw1.max * k / tv1} (train=${train.size})")
+  }
+
+  test("distributed V-cycle (serial dispatch off) keeps quality bounds") {
+    val e = Fixtures.zipf(300)
+    val vids = Fixtures.vertsOf(e)
+    val k = 4
+    val v = vertsDf(vids)
+      .select(col("vid"), array(lit(1L)).as("vwgts"))
+    val r = Multilevel.partitionMC(spark, edgesDf(e), v, k, ncon = 1,
+      coarsenTo0 = 60, serialGraphVertices = 0L, serialGraphEdges = 0L)
+    val parts = r.assign.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(parts.keySet == vids.toSet, "totality")
+    assert(r.imbalance <= 1.03 + 2.0 * k / vids.size + 1e-9,
+      s"imbalance ${r.imbalance}")
+    val g = graft.partitioner.InitialPartition.fromEdges(e.toArray,
+      vids.map((_, 1L)).toArray)
+    val oracleCut = graft.partitioner.InitialPartition.cutOf(g,
+      graft.partitioner.InitialPartition.partition(g, k, 1.03))
+    assert(Oracles.cut(e, parts) <= math.max(oracleCut * 2, oracleCut + 10),
+      s"distributed cut ${Oracles.cut(e, parts)} vs oracle $oracleCut")
+  }
+
+  test("separator FM: strict shrink when a sep vertex has no far side") {
+    // path 0-1-2 plus pendant 3 on vertex 0; labels A={0,3's side}, B={2}
+    // cover left {1,3} in SEP but 3 has NO B-neighbor -> FM moves it to A
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 3L, 1L))
+    val where0 = spark.createDataFrame(Seq(
+      (0L, 0), (1L, 2), (2L, 1), (3L, 2))).toDF("vid", "side")
+    val vw = vertsDf(Seq(0L, 1L, 2L, 3L)).withColumn("vwgt", lit(1L))
+    val out = graft.partitioner.SeparatorRefine
+      .refine(spark, edgesDf(e), where0, vw)
+      .collect().map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+    assert(out(3L) != 2, "pendant must leave the separator")
+    assert(out.values.count(_ == 2) == 1, s"sep must shrink to {1}: $out")
+    // invariant preserved
+    val bad = e.filter { case (s, d, _) =>
+      (out(s) == 0 && out(d) == 1) || (out(s) == 1 && out(d) == 0) }
+    assert(bad.isEmpty, s"uncovered A-B edges: $bad")
+  }
+
+  test("separator FM: never worse than the cover on fixtures") {
+    for (e <- Seq(Fixtures.grid4x4, Fixtures.twoCliques, Fixtures.zipf(120))) {
+      val vids = Fixtures.vertsOf(e)
+      val where = NestedDissection.vertexSeparator(spark, edgesDf(e),
+        vertsDf(vids))
+        .collect().map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+      assert(where.keySet == vids.toSet, "totality")
+      val bad = e.filter { case (s, d, _) =>
+        (where(s) == 0 && where(d) == 1) || (where(s) == 1 && where(d) == 0) }
+      assert(bad.isEmpty, s"uncovered A-B edges: $bad")
+    }
+  }
+
+  test("F2/F3 projections: -W unit weights, -V degree, -1 unit constraint") {
+    val e = Seq((0L, 1L, 5L), (1L, 2L, 7L))
+    val ew = GraphOps.ignoreWeights(edgesDf(e)).collect()
+    assert(ew.forall(_.getLong(2) == 1L), "-W forces wgt 1")
+    val v = spark.createDataFrame(Seq((0L, Seq(1L)), (1L, Seq(1L)),
+      (2L, Seq(1L)), (9L, Seq(1L)))).toDF("vid", "vwgts")
+    val vd = GraphOps.withDegreeConstraint(v, edgesDf(e))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(vd(1L) == Seq(1L, 2L), "-V appends degree")
+    assert(vd(9L) == Seq(1L, 0L), "isolated vertex gets degree 0")
+    val vu = GraphOps.withUnitConstraint(v)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(vu(1L) == Seq(1L, 1L), "-1 appends unit")
+  }
+
   test("nested dissection distributed path: permutation + determinism") {
     val e = Fixtures.zipf(120)
     val vids = Fixtures.vertsOf(e)
