@@ -39,7 +39,9 @@ object Csr {
                    adjncy: Array[Long], wgts: Array[Long],
                    dstVids: Array[Long], adjLocal: Array[Int]) {
     def nvtxs: Int = vids.length
-    def nedges: Int = adjncy.length
+    // adjLocal, not adjncy: kernels strip the global-id adjacency from
+    // persisted state (CsrFast) and nedges must survive that
+    def nedges: Int = adjLocal.length
   }
 
   /** mapPartitions CSR assembly over (blockId, src, dst, wgt) rows sorted by
@@ -48,48 +50,77 @@ object Csr {
   private def assemble(spark: SparkSession, symWithBlock: DataFrame,
                        numParts: Int): Dataset[Block] = {
     import spark.implicits._
-    symWithBlock
+    val sorted = symWithBlock
       .repartition(numParts, col("blockId"))
       .sortWithinPartitions(col("blockId"), col("src"), col("dst"))
-      .select(col("blockId"), col("src"), col("dst"), col("wgt"))
-      .as[(Int, Long, Long, Long)]
-      .mapPartitions { it =>
-        // a partition may hold several blockIds (hash collisions) — each is
-        // a contiguous run after the sort
-        val out = mutable.ArrayBuffer.empty[Block]
-        var curBlock = -1
-        var curSrc = Long.MinValue
-        val vids = mutable.ArrayBuffer.empty[Long]
-        val degs = mutable.ArrayBuffer.empty[Int]
-        val adjncy = mutable.ArrayBuffer.empty[Long]
-        val wgts = mutable.ArrayBuffer.empty[Long]
-        def closeBlock(): Unit = if (curBlock >= 0) {
-          val xadj = new Array[Int](degs.length + 1)
-          var i = 0
-          while (i < degs.length) { xadj(i + 1) = xadj(i) + degs(i); i += 1 }
-          val adj = adjncy.toArray
-          val dstVids = adj.distinct.sorted
-          val adjLocal = new Array[Int](adj.length)
-          i = 0
-          while (i < adj.length) {
-            adjLocal(i) = java.util.Arrays.binarySearch(dstVids, adj(i))
-            i += 1
+      .select(col("blockId").cast("int"), col("src").cast("bigint"),
+        col("dst").cast("bigint"), col("wgt").cast("bigint"))
+    // walk Tungsten rows directly: the Dataset[(Int,Long,Long,Long)] decode
+    // allocated a tuple + 3 boxed longs PER EDGE (and ArrayBuffer[Long]
+    // boxed every append; .distinct boxed again) — at 10^8+ directed edges
+    // that was ~100 CPU-s of pure GC churn in the build. The row is reused
+    // by Spark, so every field is read before the next hasNext.
+    val blocksRdd = sorted.queryExecution.toRdd.mapPartitions { it =>
+      // a partition may hold several blockIds (hash collisions) — each is
+      // a contiguous run after the sort
+      val out = mutable.ArrayBuffer.empty[Block]
+      var curBlock = -1
+      var curSrc = Long.MinValue
+      var curDeg = 0
+      val vids = new mutable.ArrayBuilder.ofLong
+      val degs = new mutable.ArrayBuilder.ofInt
+      val adjncy = new mutable.ArrayBuilder.ofLong
+      val wgts = new mutable.ArrayBuilder.ofLong
+      def closeBlock(): Unit = if (curBlock >= 0) {
+        if (curSrc != Long.MinValue) degs += curDeg
+        val vidsA = vids.result(); vids.clear()
+        val degsA = degs.result(); degs.clear()
+        val adj = adjncy.result(); adjncy.clear()
+        val wgtsA = wgts.result(); wgts.clear()
+        val xadj = new Array[Int](degsA.length + 1)
+        var i = 0
+        while (i < degsA.length) { xadj(i + 1) = xadj(i) + degsA(i); i += 1 }
+        // dstVids = sorted distinct destinations (primitive sort + unique
+        // scan; Array.distinct/sorted box per element)
+        val sortedAdj = adj.clone()
+        java.util.Arrays.sort(sortedAdj)
+        var n = 0
+        i = 0
+        while (i < sortedAdj.length) {
+          if (n == 0 || sortedAdj(i) != sortedAdj(n - 1)) {
+            sortedAdj(n) = sortedAdj(i); n += 1
           }
-          out += Block(curBlock, vids.toArray, xadj, adj, wgts.toArray,
-            dstVids, adjLocal)
-          vids.clear(); degs.clear(); adjncy.clear(); wgts.clear()
-          curSrc = Long.MinValue
+          i += 1
         }
-        it.foreach { case (b, s, d, w) =>
-          if (b != curBlock) { closeBlock(); curBlock = b }
-          if (s != curSrc) { vids += s; degs += 0; curSrc = s }
-          degs(degs.length - 1) += 1
-          adjncy += d
-          wgts += w
+        val dstVids = java.util.Arrays.copyOf(sortedAdj, n)
+        val adjLocal = new Array[Int](adj.length)
+        i = 0
+        while (i < adj.length) {
+          adjLocal(i) = java.util.Arrays.binarySearch(dstVids, adj(i))
+          i += 1
         }
-        closeBlock()
-        out.iterator
+        out += Block(curBlock, vidsA, xadj, adj, wgtsA, dstVids, adjLocal)
+        curSrc = Long.MinValue
+        curDeg = 0
       }
+      it.foreach { r =>
+        val b = r.getInt(0)
+        val s = r.getLong(1)
+        val d = r.getLong(2)
+        val w = r.getLong(3)
+        if (b != curBlock) { closeBlock(); curBlock = b }
+        if (s != curSrc) {
+          if (curSrc != Long.MinValue) degs += curDeg
+          vids += s; curDeg = 0; curSrc = s
+        }
+        curDeg += 1
+        adjncy += d
+        wgts += w
+      }
+      closeBlock()
+      out.iterator
+    }
+    spark.createDataset(blocksRdd)
   }
 
   /** vid-range blocks under [[GraphOps.edgeBalancedRanges]] boundaries. */

@@ -71,7 +71,13 @@ object CsrFast {
     * positions in block.dstVids each outgoing contribution array reads
     * from). Both sorted by rp.
     */
-  final case class BlockState(block: Csr.Block,
+  /** `wgtsI` replaces `block.wgts` (stripped): the kernel streams
+    * xadj/adjLocal/weights once per iteration, and at 10^8+ directed edges
+    * the weight array is the single largest stream — 4-byte ints halve it
+    * vs longs. Exact: co-occurrence edge weights are bounded by turns per
+    * conversation (prepare() enforces the Int range).
+    */
+  final case class BlockState(block: Csr.Block, wgtsI: Array[Int],
                               gatherRps: Array[Int], gatherIdx: Array[Array[Int]],
                               scatterRps: Array[Int], scatterIdx: Array[Array[Int]])
 
@@ -84,23 +90,30 @@ object CsrFast {
     * positions; returns (rp, positions) sorted by rp.
     */
   private def routeByRp(vids: Array[Long], numParts: Int): (Array[Int], Array[Array[Int]]) = {
-    val byRp = new java.util.TreeMap[Int, scala.collection.mutable.ArrayBuilder.ofInt]()
+    // counting sort over the (small, dense) rp domain — the boxed-TreeMap
+    // version of this cost 570 CPU-s at 130M edges (one boxed Integer probe
+    // per dictionary entry); two primitive passes cost ~nothing
+    val counts = new Array[Int](numParts)
     var i = 0
-    while (i < vids.length) {
-      val rp = rpOf(vids(i), numParts)
-      var b = byRp.get(rp)
-      if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofInt; byRp.put(rp, b) }
-      b += i
-      i += 1
-    }
-    val rps = new Array[Int](byRp.size)
-    val idx = new Array[Array[Int]](byRp.size)
-    val it = byRp.entrySet().iterator()
+    while (i < vids.length) { counts(rpOf(vids(i), numParts)) += 1; i += 1 }
+    var nz = 0
+    var p = 0
+    while (p < numParts) { if (counts(p) > 0) nz += 1; p += 1 }
+    val rps = new Array[Int](nz)
+    val idx = new Array[Array[Int]](nz)
+    val slot = new Array[Int](numParts)
     var k = 0
-    while (it.hasNext) {
-      val e = it.next()
-      rps(k) = e.getKey; idx(k) = e.getValue.result()
-      k += 1
+    p = 0
+    while (p < numParts) {
+      if (counts(p) > 0) { rps(k) = p; idx(k) = new Array[Int](counts(p)); slot(p) = k; k += 1 }
+      p += 1
+    }
+    val fill = new Array[Int](nz)
+    i = 0
+    while (i < vids.length) {
+      val s = slot(rpOf(vids(i), numParts))
+      idx(s)(fill(s)) = i; fill(s) += 1
+      i += 1
     }
     (rps, idx)
   }
@@ -110,7 +123,10 @@ object CsrFast {
     */
   def prepare(spark: SparkSession, blocks: Dataset[Csr.Block],
               vertices: DataFrame, numParts: Int): FastState = {
-    val nTotal = vertices.select(col("vid")).distinct().count()
+    // repartition before distinct: same partial-agg cardinality guard as
+    // GraphOps.degrees (NOTES.md — high-cardinality agg anti-scales)
+    val nTotal = vertices.select(col("vid"))
+      .repartition(col("vid")).distinct().count()
     val nBlocks = blocks.select(max(col("blockId"))).head().getInt(0) + 1
     val idB = new IdPartitioner(nBlocks)
     val idR = new IdPartitioner(numParts)
@@ -125,7 +141,23 @@ object CsrFast {
     val blockStates = bRdd.map { b =>
       val (gRps, gIdx) = routeByRp(b.vids, numParts)
       val (sRps, sIdx) = routeByRp(b.dstVids, numParts)
-      BlockState(b, gRps, gIdx, sRps, sIdx)
+      val wgtsI = new Array[Int](b.wgts.length)
+      var j = 0
+      while (j < wgtsI.length) {
+        val w = b.wgts(j)
+        require(w >= Int.MinValue && w <= Int.MaxValue,
+          s"edge weight $w exceeds Int range (CsrFast packs weights as 4-byte ints)")
+        wgtsI(j) = w.toInt
+        j += 1
+      }
+      // strip the global-id adjacency AND the long weights: the kernel
+      // walks xadj/adjLocal/wgtsI only (adjncy(j) == dstVids(adjLocal(j))
+      // by construction; wgtsI above), so keeping either would pin 8+8
+      // bytes per directed edge of dead weight in the persisted state —
+      // the difference between fitting the scaling graph in the default
+      // heap and GC-thrashing
+      BlockState(b.copy(adjncy = Array.emptyLongArray,
+        wgts = Array.emptyLongArray), wgtsI, gRps, gIdx, sRps, sIdx)
     }.localCheckpoint()
     // global wdeg (a vertex may be split across blocks), keyed to its rank
     // partition
@@ -138,7 +170,7 @@ object CsrFast {
       b.vids.indices.iterator.map { i =>
         var s = 0L
         var j = b.xadj(i)
-        while (j < b.xadj(i + 1)) { s += b.wgts(j); j += 1 }
+        while (j < b.xadj(i + 1)) { s += bs.wgtsI(j); j += 1 }
         (b.vids(i), s)
       }
     }.reduceByKey(vidPart, _ + _)
@@ -168,12 +200,21 @@ object CsrFast {
         def resolve(reqs: Iterator[(Int, (Int, Array[Long]))]): (Array[Int], Array[Array[Int]]) = {
           val arr = reqs.map(_._2).toArray.sortBy(_._1)
           val bIds = arr.map(_._1)
+          // reqVids is ascending (block vids/dstVids are sorted and the
+          // rp-filter preserves order), so one merge scan per block replaces
+          // a binary search per element (433 CPU-s at 130M edges)
           val idx = arr.map { case (_, reqVids) =>
-            reqVids.map { v =>
-              val p = java.util.Arrays.binarySearch(vids, v)
-              require(p >= 0, s"requested vid $v missing from rank partition dict")
-              p
+            val out = new Array[Int](reqVids.length)
+            var p = 0
+            var q = 0
+            while (q < reqVids.length) {
+              while (p < vids.length && vids(p) < reqVids(q)) p += 1
+              require(p < vids.length && vids(p) == reqVids(q),
+                s"requested vid ${reqVids(q)} missing from rank partition dict")
+              out(q) = p
+              q += 1
             }
+            out
           }
           (bIds, idx)
         }
@@ -235,6 +276,7 @@ object CsrFast {
             }
           }
           // CSR kernel: accumulate into the block-local dst dictionary
+          val wgtsI = bs.wgtsI
           val acc = new Array[Double](b.dstVids.length)
           var i = 0
           while (i < b.nvtxs) {
@@ -242,7 +284,7 @@ object CsrFast {
             if (s != 0.0) {
               var j = b.xadj(i)
               while (j < b.xadj(i + 1)) {
-                acc(b.adjLocal(j)) += s * b.wgts(j)
+                acc(b.adjLocal(j)) += s * wgtsI(j)
                 j += 1
               }
             }

@@ -23,9 +23,18 @@ object GraphOps {
     edges.select(col("src"), col("dst"), col("wgt"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("wgt")))
 
-  /** Per-vertex degree and weighted degree (A8/F3 analogue). */
+  /** Per-vertex degree and weighted degree (A8/F3 analogue).
+    *
+    * Repartition BEFORE the groupBy: without it every map task builds a
+    * partial-agg hash map over the full |V| key space — at 12M vertices ×
+    * 32 concurrent tasks that is the AGGREGATE_OUT_OF_MEMORY shape NOTES.md
+    * documents (high-cardinality agg anti-scales). With the exchange first,
+    * each task's map holds |V|/P keys (cache-resident) and the exchange
+    * already satisfies the grouping, so no second shuffle is added.
+    */
   def degrees(edges: DataFrame): DataFrame =
-    symmetrize(edges).groupBy(col("src").as("vid"))
+    symmetrize(edges).repartition(col("src"))
+      .groupBy(col("src").as("vid"))
       .agg(count(lit(1)).as("deg"), sum(col("wgt")).as("wdeg"))
 
   /** Vertex set present in the edge table. */

@@ -87,4 +87,39 @@ class PageRankSpec extends SparkSpec {
       assert(math.abs(r - df(v)) <= 1e-12, s"vid $v: fast $r vs df ${df(v)}")
     }
   }
+
+  test("single-exchange path (CsrDirect) computes the same ranks") {
+    for ((name, e) <- cases) {
+      val verts = Fixtures.vertsOf(e) :+ 9999L // incl. an isolated vertex
+      val want = Oracles.pageRank(e, verts, 0.85, 8)
+      val got = collectRanks(
+        graft.operators.CsrDirect.pageRank(spark,
+          Csr.buildBalanced(spark, edgesDf(e), 4), vertsDf(verts), 0.85, 8))
+      assertClose(got, want)
+      // bit-exact agreement with CsrFast (same kernel arithmetic, both merge
+      // contributions in producer-block order)
+      val fast = collectRanks(
+        graft.operators.CsrFast.pageRank(spark,
+          Csr.buildBalanced(spark, edgesDf(e), 4), vertsDf(verts), 0.85, 8,
+          numParts = 3))
+      assert(got.keySet == fast.keySet, s"$name vertex sets differ")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - fast(v)) <= 1e-12,
+          s"$name vid $v: direct $r vs fast ${fast(v)}")
+      }
+      // the large-graph row-assembly path (prepareRows — no intermediate
+      // Csr.Block) must produce bit-identical state, hence identical ranks
+      val st = graft.operators.CsrDirect.prepareRows(spark, edgesDf(e),
+        vertsDf(verts), numBlocks = 4)
+      val rows = collectRanks(
+        graft.operators.CsrDirect.toRanksDf(spark, st, 0.85,
+          graft.operators.CsrDirect.iterate(st, 0.85, 8), vertsDf(verts)))
+      st.unpersistAll()
+      assert(rows.keySet == got.keySet, s"$name prepareRows vertex sets differ")
+      rows.foreach { case (v, r) =>
+        assert(math.abs(r - got(v)) <= 1e-12,
+          s"$name vid $v: prepareRows $r vs prepare ${got(v)}")
+      }
+    }
+  }
 }
