@@ -71,7 +71,12 @@ object PageRank {
       ranks = ckpt match {
         case Some(c) => val d = c.write("pagerank", iter + 1, nextP, residual)
                         nextP.unpersist(); d.persist()
-        case None    => nextP
+        // truncate lineage even without a durable checkpointer: left to
+        // persist alone, the plan tree grows one join layer per iteration
+        // and every action re-renders/re-optimizes the whole stack (AQE
+        // renders explainString per replan — measured as pure driver-side
+        // string/optimizer CPU in the round-3 test-suite thread dump)
+        case None    => val d = nextP.ckpt(); nextP.unpersist(); d
       }
       iter += 1
     }

@@ -34,6 +34,12 @@ import graft.operators.GraphOps
   *      kwayrefine.c:774-807) — consistent by construction in BSP;
   *   7. keep the best assignment seen (mincut tracking, kwayrefine.c:1186).
   *
+  * When the greedy passes stall, distributed hill-scanning rounds (R2,
+  * reference S_par_kwayrefine_HS src/kwayrefine.c:1217-1550) move pairs of
+  * adjacent individually-stuck vertices whose COMBINED gain is positive —
+  * see `hillPairs` below; larger hills are handled by the serial
+  * [[BoundaryFm.hillScan]] on gathered boundaries.
+  *
   * Vertex weights are multi-constraint: `vertices(vid, vwgts array<bigint>)`
   * with `ncon` entries each (reference vwgt layout src/graph.h:44,55);
   * `targets` = per-part weight fractions (reference tpwgts), uniform by
@@ -101,11 +107,10 @@ object Refinement {
 
     var best = assign0.select(col("vid"), col("part")).ckpt()
     var bestCut = GraphOps.edgeCut(edges, best)
-    var cur = best
-    var pass = 0
-    var improved = true
-    while (pass < passes && improved) {
-      // two phases per pass, reference S_right_side parity rule
+
+    // one greedy pass = the reference's two S_right_side phases
+    def onePass(a0: DataFrame): DataFrame = {
+      var cur = a0
       for (phase <- 0 to 1) {
         val a = cur
         // 1. neighbor-partition aggregation (J5)
@@ -188,10 +193,146 @@ object Refinement {
             .select(col("vid"), coalesce(col("to"), col("part")).as("part")))
         cur = next
       }
+      cur
+    }
+
+    // R2 hill-scanning, BSP restriction to hills of size 2 (reference
+    // S_par_kwayrefine_HS src/kwayrefine.c:1217-1550, hill gain identity
+    // S_build_hill :599-772): adjacent same-part vertices u,v that are each
+    // individually stuck (best single-move gain <= 0) may still move
+    // TOGETHER with positive combined gain
+    //   jgain(u,v -> p) = [conn_u(p) - id_u] + [conn_v(p) - id_v] + 2*w(u,v)
+    // (the shared edge stays internal when both move, so its double loss is
+    // refunded). Pairs handshake like matching (J2) so each vertex joins at
+    // most one hill per round; admitted under the same dual balance windows
+    // with element-wise summed pair weights. Larger hills are covered by
+    // the serial pass (BoundaryFm.hillScan) on gathered boundaries; size-2
+    // is the dominant hill shape and the only one expressible as a single
+    // self-join at scale. `phase` applies the same S_right_side parity rule
+    // as the greedy phases (kwayrefine.c:142-167): hills move only to
+    // higher (phase 0) / lower (phase 1) part ids per round, so two hills
+    // on opposite sides of the same boundary cannot swap past each other
+    // in one BSP step. Returns None when no pair is admitted.
+    def hillPairs(a: DataFrame, phase: Int): Option[DataFrame] = {
+      val nbr = sym
+        .join(a.select(col("vid").as("dst"), col("part").as("dpart")), "dst")
+        .groupBy(col("src").as("vid"), col("dpart"))
+        .agg(sum(col("wgt")).as("conn"))
+      val home = nbr.join(a, "vid")
+      // stuck boundary vertices: some external connectivity, but every
+      // single-vertex move is non-improving
+      val stuck = home.groupBy(col("vid"), col("part"))
+        .agg(
+          coalesce(max(when(col("dpart") === col("part"), col("conn"))),
+            lit(0L)).as("idw"),
+          max(when(col("dpart") =!= col("part"), col("conn"))).as("maxconn"))
+        .filter(col("maxconn").isNotNull && col("maxconn") <= col("idw"))
+      val extConn = home.filter(col("dpart") =!= col("part"))
+        .select(col("vid"), col("dpart").as("to"), col("conn"))
+      // same-part adjacent stuck pairs (u < v), one row per pair
+      val pe = sym.filter(col("src") < col("dst"))
+        .join(stuck.select(col("vid").as("src"), col("part").as("from"),
+          col("idw").as("idu")), "src")
+        .join(stuck.select(col("vid").as("dst"), col("part").as("dp"),
+          col("idw").as("idv")), "dst")
+        .filter(col("from") === col("dp"))
+        .select(col("src").as("u"), col("dst").as("v"), col("from"),
+          col("wgt").as("wuv"), col("idu"), col("idv"))
+      // candidate targets: any part either endpoint touches
+      val tgts = pe.select(col("u"), col("v"))
+        .join(extConn.withColumnRenamed("vid", "u"), "u")
+        .select(col("u"), col("v"), col("to"))
+        .unionByName(pe.select(col("u"), col("v"))
+          .join(extConn.withColumnRenamed("vid", "v"), "v")
+          .select(col("u"), col("v"), col("to")))
+        .distinct()
+      val hillDir =
+        if (phase == 0) col("to") > col("from") else col("to") < col("from")
+      val withGain = pe.join(tgts, Seq("u", "v"))
+        .filter(hillDir)
+        .join(extConn.select(col("vid").as("u"), col("to"),
+          col("conn").as("cu")), Seq("u", "to"), "left")
+        .join(extConn.select(col("vid").as("v"), col("to"),
+          col("conn").as("cv")), Seq("v", "to"), "left")
+        .withColumn("jgain",
+          coalesce(col("cu"), lit(0L)) + coalesce(col("cv"), lit(0L)) -
+            col("idu") - col("idv") + lit(2L) * col("wuv"))
+        .filter(col("jgain") > 0)
+      // best target per pair, then J2 handshake so hills are disjoint
+      val bestPer = withGain.groupBy(col("u"), col("v"), col("from"))
+        .agg(max(struct(col("jgain"), (-col("to")).as("nt"))).as("b"))
+        .select(col("u"), col("v"), col("from"), (-col("b.nt")).as("to"),
+          col("b.jgain").as("gain"))
+      val props = bestPer.select(col("u").as("vid"), col("v").as("partner"),
+          col("gain"))
+        .unionByName(bestPer.select(col("v").as("vid"), col("u").as("partner"),
+          col("gain")))
+        .groupBy(col("vid"))
+        .agg(max(struct(col("gain"), (-col("partner")).as("np"))).as("b"))
+        .select(col("vid"), (-col("b.np")).as("partner"))
+      val mutual = bestPer
+        .join(props.select(col("vid").as("u"), col("partner").as("pu")), "u")
+        .join(props.select(col("vid").as("v"), col("partner").as("pv")), "v")
+        .filter(col("pu") === col("v") && col("pv") === col("u"))
+        .select(col("u"), col("v"), col("from"), col("to"), col("gain"))
+      // pair weight = element-wise sum of both members' constraint vectors
+      val units = mutual
+        .join(vw.select(col("vid").as("u"), col("vwgts").as("wu")), "u")
+        .join(vw.select(col("vid").as("v"), col("vwgts").as("wv")), "v")
+        .withColumn("vwgts", zip_with(col("wu"), col("wv"), _ + _))
+        .select(col("u"), col("v"), col("from"), col("to"), col("gain"),
+          col("vwgts"))
+      val pwRows = a.join(vw, "vid").groupBy(col("part"))
+        .agg((0 until ncon).map(c => sum(wc(c)).as(s"pw$c")).head,
+          (0 until ncon).map(c => sum(wc(c)).as(s"pw$c")).tail: _*).collect()
+      val pw = Array.ofDim[Long](k, ncon)
+      pwRows.foreach { r =>
+        val p = r.get(0).toString.toInt
+        (0 until ncon).foreach(c => pw(p)(c) = r.getLong(c + 1))
+      }
+      val wTo = Window.partitionBy(col("to"))
+        .orderBy(col("gain").desc, col("u"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFrom = Window.partitionBy(col("from"))
+        .orderBy(col("gain").desc, col("u"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val okCond = (0 until ncon).map { c =>
+        (sum(wc(c)).over(wTo) <=
+          byPart(col("to"), p => maxW(p)(c) - pw(p)(c))) &&
+        (sum(wc(c)).over(wFrom) <=
+          byPart(col("from"), p => pw(p)(c) - minW(p)(c)))
+      }.reduce(_ && _)
+      val admitted = units.withColumn("ok", okCond).filter(col("ok"))
+        .select(col("u"), col("v"), col("to")).ckpt()
+      if (admitted.isEmpty) return None
+      val moved = admitted.select(col("u").as("vid"), col("to"))
+        .unionByName(admitted.select(col("v").as("vid"), col("to")))
+      Some(graft.plans.Plans.checkpoint(
+        a.join(moved, Seq("vid"), "left")
+          .select(col("vid"), coalesce(col("to"), col("part")).as("part"))))
+    }
+
+    var cur = best
+    var pass = 0
+    var improved = true
+    while (pass < passes && improved) {
+      cur = onePass(cur)
       val (cut, imb) = cutAndImbalance(cur)
       improved = cut < bestCut && imb <= ubFactor + 1e-9
       if (improved) { bestCut = cut; best = cur }
       pass += 1
+    }
+    // hill rounds once greedy stalls (the reference runs HS when the greedy
+    // pass stops improving): one round per direction — move jointly-
+    // profitable pairs, then one greedy clean-up pass around the moved hills
+    for (hsPhase <- 0 to 1) {
+      hillPairs(best, hsPhase).foreach { afterHills =>
+        val next = onePass(afterHills)
+        val (cut, imb) = cutAndImbalance(next)
+        if (cut < bestCut && imb <= ubFactor + 1e-9) {
+          bestCut = cut; best = next
+        }
+      }
     }
     sym.unpersist(); vw.unpersist()
     best

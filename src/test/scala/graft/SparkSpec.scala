@@ -25,6 +25,11 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
+      // bound plan-string rendering: AQE re-renders explainString on every
+      // replan, and a deep lazy lineage (iterative PR/CC loops) makes each
+      // render O(plan size) — uncapped, one test burned 990 CPU-sec just
+      // building strings (round 3 thread dump). Same cap as the mains.
+      .config("spark.sql.maxPlanStringLength", "16384")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
