@@ -32,6 +32,9 @@ object SparkEntry {
   // stop-gram document-frequency cap for the n-gram Jaccard family (baked
   // into the oracle SQL; see TextOps.ngramJaccardPairs)
   private val NgramMaxDf = 128
+  // strong-tie weight threshold for the twin/leaf queries (the full events
+  // graph has no leaves or twins at any sf; the heavy-edge subgraph does)
+  private val StrongTie = 15
 
   /** Flagship: PageRank over the sf0.001 events-derived link graph. */
   def entry(spark: SparkSession): DataFrame = {
@@ -130,6 +133,21 @@ object SparkEntry {
     "q_triangles_pv" -> ((s, d) =>
       Triangles.perVertex(EventsGraph.edges(s, d),
         EventsGraph.vertices(s, d))),
+    // O2 hash-sorted twins + M4 leaf matching run on the strong-tie
+    // subgraph (wgt >= StrongTie): the full events graph is dense enough
+    // that no vertex is a leaf and no two share an adjacency list
+    "q_twins" -> ((s, d) =>
+      GraphOps.twinGroups(EventsGraph.edges(s, d)
+        .filter(col("wgt") >= StrongTie))),
+    "q_leaf_pairs" -> { (s, d) =>
+      val e = EventsGraph.edges(s, d).filter(col("wgt") >= StrongTie)
+      val v = GraphOps.edgeVertices(e).withColumn("vwgt", lit(1L))
+      graft.partitioner.Matching.matchLeaves(e, v, Long.MaxValue)
+    },
+    // W1 counting-sort visit order (capped degree asc, multiplicative-hash
+    // shuffled ties)
+    "q_visit_order" -> ((s, d) =>
+      GraphOps.visitOrder(EventsGraph.edges(s, d))),
     // ---- partition metrics (SURVEY §2.4 A4/A5/A7) ----
     "q_cut_metrics_mod" -> { (s, d) =>
       val e = EventsGraph.edges(s, d)
@@ -448,6 +466,36 @@ object SparkEntry {
     "q_labelprop" -> LabelPropagation.oracleSql(EC, VC, 4),
     "q_triangles" -> Triangles.oracleSql(EC),
     "q_triangles_pv" -> Triangles.perVertexOracleSql(EC, VC),
+    "q_twins" ->
+      s"""WITH e_canon AS ($EC),
+         |f AS (SELECT * FROM e_canon WHERE wgt >= $StrongTie),
+         |s AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+         |sig AS (SELECT src AS vid,
+         |  md5(string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst)) AS sig
+         |  FROM s GROUP BY src)
+         |SELECT sig, count(*) AS n_twins, min(vid) AS min_vid
+         |FROM sig GROUP BY sig HAVING count(*) >= 2 ORDER BY sig""".stripMargin,
+    "q_leaf_pairs" ->
+      s"""WITH e_canon AS ($EC),
+         |f AS (SELECT * FROM e_canon WHERE wgt >= $StrongTie),
+         |s AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+         |d AS (SELECT src AS vid, count(*) AS deg FROM s GROUP BY src),
+         |l AS (SELECT s.src AS leaf, s.dst AS parent,
+         |        row_number() OVER (PARTITION BY s.dst ORDER BY s.src) AS r
+         |      FROM s JOIN d ON s.src = d.vid WHERE d.deg = 1),
+         |p AS (SELECT parent, (r - 1) // 2 AS pid, min(leaf) AS u,
+         |        max(leaf) AS v, count(*) AS n
+         |      FROM l GROUP BY parent, (r - 1) // 2)
+         |SELECT u, v FROM p WHERE n = 2 ORDER BY u""".stripMargin,
+    "q_visit_order" ->
+      s"""WITH e_canon AS ($EC),
+         |s AS (SELECT src, dst FROM e_canon UNION ALL SELECT dst, src FROM e_canon),
+         |d AS (SELECT src AS vid, count(*) AS deg FROM s GROUP BY src),
+         |a AS (SELECT CAST(floor(0.7 * avg(deg)) AS BIGINT) + 1 AS cap FROM d)
+         |SELECT vid, least(deg, cap) AS capped_deg,
+         |  CAST(row_number() OVER (ORDER BY least(deg, cap),
+         |    (vid * 2654435761) % 2147483647, vid) AS BIGINT) AS visit_rank
+         |FROM d, a ORDER BY vid""".stripMargin,
     "q_cut_metrics_mod" ->
       s"""WITH e_canon AS ($EC),
          |cut AS (SELECT CAST(COALESCE(SUM(wgt), 0) AS BIGINT) AS edge_cut

@@ -247,4 +247,45 @@ object GraphOps {
       .groupBy(col("src")).agg(countDistinct(col("dp")).as("ext"))
       .agg(coalesce(sum(col("ext")), lit(0L))).head().getLong(0)
   }
+
+  /** Hash-sorted twin detection (O2; reference ah_quicksort over
+    * (adjacency-hash, vid) pairs, src/aggregate.c:1035-1108): vertices with
+    * IDENTICAL neighbor sets grouped by a signature of the sorted adjacency
+    * list. The reference sorts (hash, vid) pairs then scans runs; the
+    * relational form is one hash-aggregate over the symmetrized edges —
+    * md5 of the comma-joined sorted neighbor ids (DuckDB-replicable:
+    * md5(string_agg(dst ORDER BY dst))). Returns one row per twin CLASS
+    * with ≥ 2 members: (sig, n_twins, min_vid).
+    */
+  def twinGroups(edges: DataFrame): DataFrame =
+    symmetrize(edges).repartition(col("src"))
+      .groupBy(col("src").as("vid"))
+      .agg(md5(concat_ws(",", transform(
+        sort_array(collect_list(col("dst"))), d => d.cast("string"))))
+        .as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_twins"), min(col("vid")).as("min_vid"))
+      .filter(col("n_twins") >= 2)
+
+  /** Counting-sort visit order (W1; reference vv_countingsort_kv at
+    * src/aggregate.c:1469-1476, degree cap 0.7·avg+1 at :1444-1453):
+    * vertices ranked by ascending CAPPED degree with deterministically
+    * shuffled ties — the multiplicative-hash shuffle stands in for the
+    * reference's race-dependent per-thread tie order (SURVEY §7(a);
+    * multiplicative hashing is the reference's own idiom,
+    * src/aggregate.c:1026-1029). Consumer: SHEM's proposal tie-break
+    * prefers low-degree partners ([[graft.partitioner.Matching]]).
+    * Returns (vid, capped_deg, visit_rank).
+    */
+  def visitOrder(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges).select(col("vid"), col("deg"))
+    val avgDeg = deg.agg(avg(col("deg"))).head().getDouble(0)
+    val cap = math.floor(0.7 * avgDeg).toLong + 1L
+    deg.select(col("vid"), least(col("deg"), lit(cap)).as("capped_deg"),
+        pmod(col("vid") * lit(2654435761L), lit(2147483647L)).as("h"))
+      .withColumn("visit_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("capped_deg"), col("h"), col("vid"))).cast("long"))
+      .select(col("vid"), col("capped_deg"), col("visit_rank"))
+  }
 }

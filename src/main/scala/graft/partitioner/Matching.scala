@@ -109,4 +109,67 @@ object Matching {
     sym.unpersist(); unmatched.unpersist()
     out
   }
+
+  /** Leaf matching (M4; reference S_coarsen_match_leaves,
+    * src/aggregate.c:847-962 — disabled in the fork, re-expressed here
+    * after the Metis 5.1.0 algorithm it cites): degree-1 vertices (leaves)
+    * hanging off the SAME parent are matched with each other pairwise.
+    * The reference buckets leaves by (hashed) parent id then pairs within
+    * each bucket from the ends; relationally that is one aggregation —
+    * leaves grouped by their sole neighbor, paired consecutively in vid
+    * order (deterministic where the reference's bucket order is
+    * thread-dependent). Each parent with n leaves yields exactly
+    * ⌊n/2⌋ pairs. Weight cap: a pair must satisfy vwgt(u)+vwgt(v) ≤ cap.
+    *
+    * Returns pairs (u, v) with u < v.
+    */
+  def matchLeaves(edges: DataFrame, vertices: DataFrame,
+                  maxVwgt: Long): DataFrame = {
+    val deg = GraphOps.degrees(edges).select(col("vid"), col("deg"))
+    val leaves = GraphOps.symmetrize(edges)
+      .join(deg.filter(col("deg") === 1).select(col("vid").as("src")), "src")
+      .select(col("src").as("leaf"), col("dst").as("parent"))
+      .join(vertices.select(col("vid").as("leaf"), col("vwgt")), "leaf")
+    // pair consecutive leaves (vid order) within each parent: rank r pairs
+    // with r+1 for odd r (1-based) — one aggregation, no self-join
+    val ranked = leaves.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("parent")).orderBy(col("leaf"))))
+    ranked.withColumn("pairId", ((col("r") - 1) / 2).cast("long"))
+      .groupBy(col("parent"), col("pairId"))
+      .agg(min(col("leaf")).as("u"), max(col("leaf")).as("v"),
+        count(lit(1)).as("n"), sum(col("vwgt")).as("w"))
+      .filter(col("n") === 2 && col("w") <= maxVwgt)
+      .select(col("u"), col("v"))
+  }
+
+  /** Twin matching (M4; reference S_coarsen_match_twins,
+    * src/aggregate.c:982-1117 — disabled in the fork; based on Metis's
+    * Match_2HopAll): vertices with IDENTICAL adjacency lists ("twins",
+    * found via the O2 sorted-adjacency signature,
+    * [[GraphOps.twinGroups]]'s md5 of the sorted neighbor ids) are matched
+    * pairwise — they are 2 hops apart by construction (an edge between
+    * them would make their lists differ), so the pair is safe to contract.
+    * `maxDeg` bounds eligible twin degree (the reference's maxdeg
+    * parameter). Returns pairs (u, v) with u < v.
+    */
+  def matchTwins(edges: DataFrame, vertices: DataFrame, maxVwgt: Long,
+                 maxDeg: Long = 64L): DataFrame = {
+    val sigs = GraphOps.symmetrize(edges).repartition(col("src"))
+      .groupBy(col("src").as("vid"))
+      .agg(md5(concat_ws(",", transform(
+        sort_array(collect_list(col("dst"))), d => d.cast("string"))))
+        .as("sig"), count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDeg)
+      .join(vertices.select(col("vid"), col("vwgt")), "vid")
+    val ranked = sigs.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sig")).orderBy(col("vid"))))
+    ranked.withColumn("pairId", ((col("r") - 1) / 2).cast("long"))
+      .groupBy(col("sig"), col("pairId"))
+      .agg(min(col("vid")).as("u"), max(col("vid")).as("v"),
+        count(lit(1)).as("n"), sum(col("vwgt")).as("w"))
+      .filter(col("n") === 2 && col("w") <= maxVwgt)
+      .select(col("u"), col("v"))
+  }
 }

@@ -155,4 +155,135 @@ object GraphFiles {
     vertices.join(listed, Seq("vid"), "left")
       .withColumn("in_train", coalesce(col("in_train"), lit(0L)))
   }
+
+  private val CommentStart = Seq("#", "%", "/")
+  private def isData(c: org.apache.spark.sql.Column) =
+    length(trim(c)) > 0 &&
+      !CommentStart.map(p => trim(c).startsWith(p)).reduce(_ || _)
+
+  /** Plain-text CSR reader (S4; reference wildriver/src/CSRFile.cpp:
+    * one line per matrix row, alternating `col val` token pairs; comment
+    * lines start with #, %, or /; 0- vs 1-based column indexing is
+    * auto-detected from the minimum column seen, CSRFile.cpp:253-263).
+    * Returns entries `(row, col, val)`, both ids 0-based.
+    */
+  def readCsr(spark: SparkSession, path: String): DataFrame = {
+    // keep EMPTY lines — an empty line is a matrix row with no entries
+    // (CSRFile.cpp getNextRow reads every non-comment line as a row)
+    val rows = numberedLines(spark, path)
+      .filter(!CommentStart.map(p => trim(col("line")).startsWith(p))
+        .reduce(_ || _))
+      .withColumn("row", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("lineno"))) - 1)
+      .select(col("row").cast("long").as("row"),
+        filter(split(trim(col("line")), "\\s+"), t => length(t) > 0).as("t"))
+    val entries = rows
+      .select(col("row"), posexplode_outer(col("t")))
+      .filter(col("col").isNotNull)
+      .groupBy(col("row"), (col("pos") / 2).cast("long").as("pair"))
+      .agg(min(struct(col("pos"), col("col"))).as("c"),
+        max(struct(col("pos"), col("col"))).as("v"))
+      .select(col("row"), col("c.col").cast("long").as("col"),
+        col("v.col").cast("double").as("val"))
+    val minCol = entries.agg(min(col("col"))).head().get(0)
+    val base = if (minCol != null && minCol.asInstanceOf[Long] > 0L) 1L else 0L
+    entries.select(col("row"), (col("col") - base).as("col"), col("val"))
+  }
+
+  /** Plain-text CSR writer (inverse of [[readCsr]]; 1-based columns, the
+    * reference's own write dialect, CSREncoder.cpp).
+    */
+  def writeCsr(entries: DataFrame, nRows: Long, path: String): Unit = {
+    val byRow = entries
+      .groupBy(col("row"))
+      .agg(sort_array(collect_list(struct(col("col"), col("val")))).as("es"))
+      .select(col("row"), concat_ws(" ", transform(col("es"),
+        e => concat_ws(" ", (e("col") + 1).cast("string"),
+          e("val").cast("string")))).as("line"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lines = (0L until nRows).map(r => byRow.getOrElse(r, ""))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("", "\n", "\n").getBytes)
+  }
+
+  /** MatrixMarket coordinate reader (S5; reference
+    * wildriver/src/MatrixMarketFile.cpp:316-420: banner
+    * `%%MatrixMarket matrix coordinate real|integer|pattern
+    * general|symmetric`, `%` comments, size line `nrows ncols nnz`, then
+    * 1-based `i j [v]` entries; symmetric stores the lower triangle and
+    * implies the mirrored entries, :276-284). Returns `(row, col, val)`
+    * 0-based with symmetric expansion applied (diagonal not doubled).
+    */
+  def readMatrixMarket(spark: SparkSession, path: String): DataFrame = {
+    val banner = spark.read.text(path).limit(1).head().getString(0)
+    require(banner.startsWith("%%MatrixMarket"),
+      s"not a MatrixMarket file: '$banner'")
+    val toks = banner.trim.split("\\s+").map(_.toLowerCase)
+    require(toks.length >= 3 && toks(1) == "matrix" && toks(2) == "coordinate",
+      s"unsupported MatrixMarket header: '$banner'")
+    val pattern = toks.contains("pattern")
+    val symmetric = toks.contains("symmetric")
+    val data = numberedLines(spark, path)
+      .filter(!trim(col("line")).startsWith("%") &&
+        length(trim(col("line"))) > 0)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("lineno"))))
+    val size = data.filter(col("rank") === 1).head().getString(1)
+      .trim.split("\\s+").map(_.toLong)
+    val entries = data.filter(col("rank") > 1)
+      .select(filter(split(trim(col("line")), "\\s+"),
+        t => length(t) > 0).as("t"))
+      .select((element_at(col("t"), 1).cast("long") - 1).as("row"),
+        (element_at(col("t"), 2).cast("long") - 1).as("col"),
+        (if (pattern) lit(1.0)
+         else element_at(col("t"), 3).cast("double")).as("val"))
+    require(entries.count() == size(2),
+      s"MatrixMarket nnz mismatch: header ${size(2)}")
+    if (!symmetric) entries
+    else entries.unionByName(
+      entries.filter(col("row") =!= col("col"))
+        .select(col("col").as("row"), col("row").as("col"), col("val")))
+  }
+
+  /** Plain vector file reader (S6; reference
+    * wildriver/src/PlainVectorFile.cpp: one value per line, #/%// comment
+    * lines skipped). Returns `(idx, value)` with 0-based positions.
+    */
+  def readVector(spark: SparkSession, path: String): DataFrame =
+    numberedLines(spark, path)
+      .filter(isData(col("line")))
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("lineno")))
+        .cast("long") - 1)
+      .select(col("idx"), trim(col("line")).cast("double").as("value"))
+
+  /** Plain vector writer (inverse of [[readVector]]): values in idx order,
+    * one per line — integral values rendered without a trailing `.0` (the
+    * reference writes wgt_type integers, PlainVectorFile.cpp).
+    */
+  def writeVector(values: DataFrame, path: String): Unit = {
+    val lines = values.orderBy(col("idx"))
+      .select(when(col("value") === col("value").cast("long").cast("double"),
+        col("value").cast("long").cast("string"))
+        .otherwise(col("value").cast("string")).as("s"))
+      .collect().map(_.getString(0))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("", "\n", "\n").getBytes)
+  }
+
+  /** Dense-matrix text reader (S6; reference
+    * wildriver/src/DenseMatrixFile.cpp: each non-comment line is one row
+    * of whitespace-separated values). Returns `(row, col, val)` 0-based.
+    */
+  def readDenseMatrix(spark: SparkSession, path: String): DataFrame =
+    numberedLines(spark, path)
+      .filter(isData(col("line")))
+      .withColumn("row", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("lineno")))
+        .cast("long") - 1)
+      .select(col("row"),
+        posexplode(filter(split(trim(col("line")), "\\s+"),
+          t => length(t) > 0)))
+      .select(col("row"), col("pos").cast("long").as("col"),
+        col("col").cast("double").as("val"))
 }

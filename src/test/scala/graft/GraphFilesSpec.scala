@@ -95,4 +95,89 @@ class GraphFilesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
   }
+
+  test("CSR text reader (S4): 1-based autodetect, comments, empty rows") {
+    val g = tmpFile(
+      """% comment
+        |2 1.5 3 2.0
+        |1 1.5
+        |
+        |1 2.0
+        |""".stripMargin)
+    val got = GraphFiles.readCsr(spark, g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // min column 1 => 1-based; empty line = row 2 with no entries
+    assert(got == Set((0L, 1L, 1.5), (0L, 2L, 2.0), (1L, 0L, 1.5),
+      (3L, 0L, 2.0)))
+  }
+
+  test("CSR text reader (S4): 0-based when column 0 appears") {
+    val g = tmpFile("0 1.0\n1 2.0\n")
+    val got = GraphFiles.readCsr(spark, g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((0L, 0L, 1.0), (1L, 1L, 2.0)))
+  }
+
+  test("CSR round-trip: write then read reproduces entries") {
+    val entries = spark.createDataFrame(Seq(
+      (0L, 1L, 1.5), (0L, 2L, 2.0), (2L, 0L, 3.0))).toDF("row", "col", "val")
+    val out = Files.createTempDirectory("graft-csr").resolve("m.csr").toString
+    GraphFiles.writeCsr(entries, 3L, out)
+    val back = GraphFiles.readCsr(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == Set((0L, 1L, 1.5), (0L, 2L, 2.0), (2L, 0L, 3.0)))
+  }
+
+  test("MatrixMarket reader (S5): general real coordinate, 1-based") {
+    val g = tmpFile(
+      """%%MatrixMarket matrix coordinate real general
+        |% a comment
+        |3 3 2
+        |1 2 1.5
+        |3 1 2.5
+        |""".stripMargin)
+    val got = GraphFiles.readMatrixMarket(spark, g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((0L, 1L, 1.5), (2L, 0L, 2.5)))
+  }
+
+  test("MatrixMarket reader (S5): symmetric pattern mirrors off-diagonals") {
+    val g = tmpFile(
+      """%%MatrixMarket matrix coordinate pattern symmetric
+        |3 3 3
+        |2 1
+        |3 1
+        |2 2
+        |""".stripMargin)
+    val got = GraphFiles.readMatrixMarket(spark, g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 0L, 1.0), (0L, 1L, 1.0), (2L, 0L, 1.0),
+      (0L, 2L, 1.0), (1L, 1L, 1.0)))
+  }
+
+  test("MatrixMarket reader rejects a non-MM banner") {
+    val g = tmpFile("3 3 1\n1 1 1.0\n")
+    intercept[IllegalArgumentException] {
+      GraphFiles.readMatrixMarket(spark, g)
+    }
+  }
+
+  test("plain vector (S6) round-trip keeps order; comments skipped on read") {
+    val g = tmpFile("# perm\n5\n3\n8\n")
+    val vec = GraphFiles.readVector(spark, g).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(vec.toSeq == Seq((0L, 5.0), (1L, 3.0), (2L, 8.0)))
+    val out = Files.createTempDirectory("graft-vec").resolve("v.txt")
+    GraphFiles.writeVector(
+      spark.createDataFrame(vec).toDF("idx", "value"), out.toString)
+    assert(Files.readString(out) == "5\n3\n8\n")
+  }
+
+  test("dense-matrix reader (S6): row-major whitespace values") {
+    val g = tmpFile("1.0 2.0\n3.0 4.0\n")
+    val got = GraphFiles.readDenseMatrix(spark, g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((0L, 0L, 1.0), (0L, 1L, 2.0),
+      (1L, 0L, 3.0), (1L, 1L, 4.0)))
+  }
 }
