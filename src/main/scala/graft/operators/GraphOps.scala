@@ -278,7 +278,9 @@ object GraphOps {
     * Returns (vid, capped_deg, visit_rank).
     */
   def visitOrder(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges).select(col("vid"), col("deg"))
+    // consumed by two actions (avg + ranked output): materialize once
+    val deg = graft.plans.Plans.checkpoint(
+      degrees(edges).select(col("vid"), col("deg")))
     val avgDeg = deg.agg(avg(col("deg"))).head().getDouble(0)
     val cap = math.floor(0.7 * avgDeg).toLong + 1L
     deg.select(col("vid"), least(col("deg"), lit(cap)).as("capped_deg"),

@@ -65,17 +65,62 @@ object NearDup {
     * word hashed once + n multiply-adds per shingle is ~20x faster.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val wh1 = s"transform(split(text, ' '), t -> ${charHashSpark("t", 31, P)})"
-    val wh2 = s"transform(split(text, ' '), t -> ${charHashSpark("t", 131, P2)})"
-    docs.selectExpr("doc_id", s"$wh1 AS wh1", s"$wh2 AS wh2")
-      .selectExpr("doc_id",
-        s"""explode(array_distinct(transform(
-           |  sequence(1, greatest(1, size(wh1) - ${n - 1})),
-           |  sh_i -> aggregate(slice(wh1, sh_i, $n), CAST(0 AS BIGINT),
-           |            (sh_a, sh_x) -> (sh_a * $WB1 + sh_x) % $P)
-           |          + aggregate(slice(wh2, sh_i, $n), CAST(0 AS BIGINT),
-           |              (sh_a, sh_x) -> (sh_a * $WB2 + sh_x) % $P2)
-           |            * ${1L << 31}))) AS sh""".stripMargin)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the hash kernel runs as a typed mapPartitions, NOT a column pipeline:
+    // Spark's higher-order functions (transform/aggregate lambdas) are
+    // INTERPRETED per element — the same fold as plain Scala arithmetic is
+    // ~10x faster, and the values are identical by construction (the SQL
+    // spelling below in [[shinglesSql]]/the oracle is the spec)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, text) =>
+          // split(text, ' ') keeps trailing empties (Spark limit -1)
+          val words = if (text == null) Array("") else text.split(" ", -1)
+          val wh1 = words.map(charHash(_, 31, P))
+          val wh2 = words.map(charHash(_, 131, P2))
+          val nSh = math.max(1, words.length - (n - 1))
+          val out = new java.util.LinkedHashSet[Long]()
+          var i = 0
+          while (i < nSh) {
+            // slice(wh, i+1, n) truncates at the array end
+            val end = math.min(i + n, words.length)
+            var c1 = 0L; var c2 = 0L
+            var j = i
+            while (j < end) {
+              c1 = (c1 * WB1 + wh1(j)) % P
+              c2 = (c2 * WB2 + wh2(j)) % P2
+              j += 1
+            }
+            out.add(c1 + c2 * (1L << 31))
+            i += 1
+          }
+          val ids = new Array[(Long, Long)](out.size)
+          val itOut = out.iterator()
+          var k = 0
+          while (itOut.hasNext) { ids(k) = (docId, itOut.next()); k += 1 }
+          ids
+        }
+      }
+      .toDF("doc_id", "sh")
+  }
+
+  /** Scala twin of [[charHashSpark]]: fold (acc·base + codepoint) mod
+    * `mod` over the string's code points; the SQL form's
+    * `sequence(1, greatest(1, length(s)))` makes the empty string hash 0
+    * (one step with `ascii('') = 0`).
+    */
+  private def charHash(s: String, base: Long, mod: Long): Long = {
+    if (s == null || s.isEmpty) return 0L
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * base + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
   }
 
   private def hashParams62(numHashes: Int, seed: Long): (Array[Long], Array[Long], Array[Long]) = {

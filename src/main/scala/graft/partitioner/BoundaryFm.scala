@@ -80,7 +80,9 @@ object BoundaryFm {
           .as("dst"),
         col("wgt"))
       .groupBy(col("src"), col("dst")).agg(sum(col("wgt")).as("wgt"))
-    (bndV.unionByName(superV), bb.unionByName(bc))
+    // both sides are consumed by count + collect actions downstream: the
+    // ~10-join plans evaluate once here instead of once per action
+    (bndV.unionByName(superV).ckpt(), bb.unionByName(bc).ckpt())
   }
 
   /** R3: refine a bisection by collecting the J7 boundary graph and running
