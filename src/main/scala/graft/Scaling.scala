@@ -33,10 +33,15 @@ object Scaling {
   // per-iteration contribution volume: each block sees more of the vertex
   // set, so Σ|distinct dst per block| — the bytes shuffled every
   // iteration — drops with the block count.
+  // 16 blocks beat 32 on BOTH absolute speed and the 4→16 ratio (measured
+  // this round: lo 9.85→5.67 s, hi 3.57→1.91 s, eff 0.69→0.74 at 130M
+  // edges): fewer blocks shrink Σ|per-block dst dictionary| — the bytes
+  // exchanged AND the accumulator footprint per iteration — and the
+  // 16-thread leg is the bandwidth-bound one, so it gains the most
   private val NumBlocks =
-    sys.env.getOrElse("SPARK_GRAFT_SCALE_BLOCKS", "32").toInt
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_BLOCKS", "16").toInt
   private val NumParts =
-    sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "16").toInt
 
   private def session(cpus: Int): SparkSession = {
     val builder = SparkSession.builder()
@@ -112,6 +117,21 @@ object Scaling {
         .write.mode("overwrite").parquet(s"$outDir/edges")
       dict.select(col("vid")).write.mode("overwrite")
         .parquet(s"$outDir/vids")
+      // "direct" kernel legs load the PREPARED per-block state instead of
+      // rebuilding it: the routing build + tiled counting sort cost ~10
+      // min at 4 threads (untimed, but it is wall-clock the whole bench
+      // pays per leg), and the state is thread-count-independent because
+      // the block layout is pinned across parallelism levels
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_KERNEL", "direct") == "direct") {
+        val edges = spark.read.parquet(s"$outDir/edges")
+        val nE = edges.count()
+        val st = CsrDirect.prepareRows(spark, edges,
+          spark.read.parquet(s"$outDir/vids"), NumBlocks)
+        CsrDirect.saveState(st, s"$outDir/direct-state")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/nedges.txt"), s"$nE\n")
+        st.unpersistAll()
+      }
     } finally spark.stop()
   }
 
@@ -121,7 +141,7 @@ object Scaling {
     * the default "direct" kernel), the irreducible communication of
     * distributed PR.
     */
-  def run(cpus: Int, nConv: Long, iters: Int, warmupIters: Int = 2): RunResult = {
+  def run(cpus: Int, nConv: Long, iters: Int, warmupIters: Int = -1): RunResult = {
     val spark = session(cpus)
     try {
       // longer conversations → denser link graph (SPARK_GRAFT_SCALE_TURNS;
@@ -147,6 +167,23 @@ object Scaling {
         // Plans.checkpoint, not raw localCheckpoint: the edges feed a Union
         // (Csr symmetrize) directly above the checkpointed LogicalRDD — the
         // Spark 4.1 stale-constraint crash shape (NOTES.md)
+        // fast path: the prep child already built the thread-count-
+        // independent per-block state — load it (seconds) instead of
+        // re-running the routing/sort build at this leg's thread count
+        // (~10 min at local[4])
+        val preBuilt = edgesDir.filter(dir => kernel == "direct" &&
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dir/direct-state/meta.txt")))
+        preBuilt match {
+          case Some(dir) =>
+            val st = CsrDirect.loadState(spark, s"$dir/direct-state")
+            val nE = java.nio.file.Files
+              .readString(java.nio.file.Paths.get(s"$dir/nedges.txt"))
+              .trim.toLong
+            return ((it: Int) => CsrDirect.iterate(st, 0.85, it),
+              () => st.unpersistAll(), st.n, nE)
+          case None => ()
+        }
         val (edges, dictVids) = edgesDir match {
           case Some(dir) =>
             // a parquet scan is already a stable, re-scannable leaf — a
@@ -191,7 +228,13 @@ object Scaling {
       // the final stage skip the computed arrays)
       def force(ranks: org.apache.spark.rdd.RDD[(Int, Array[Double])]): Double =
         ranks.map(_._2.sum).sum()
-      force(iterate(warmupIters)) // JIT warmup
+      // JIT warmup: a FULL-length pass — with only 2 warmup iterations the
+      // measured trials were still descending at trial 3 (C2 compilation
+      // of the kernel loop happens over the first ~15 invocations), which
+      // systematically penalized whichever leg ran fewer total iterations
+      // per second of wall clock
+      val wu = if (warmupIters > 0) warmupIters else iters
+      force(iterate(wu))
       // min over trials: the sandbox VM has intermittent noisy-neighbor CPU
       // stalls; the minimum approximates true machine capacity (standard
       // practice for contended-host benchmarking)
@@ -237,15 +280,25 @@ object Scaling {
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
+        // the children get an explicit heap (below) — the PARENT is often
+        // sbt with -Xmx4g, and inheriting that ran the ~3.2 GB block state
+        // plus per-iteration message churn at the edge of heap: ZGC went
+        // allocation-stall-bound and every trial measured GC, not kernel
+        a.startsWith("-Xmx") || a.startsWith("-Xms") ||
         // the children run ZGC (below) — drop any inherited GC choice
         (a.startsWith("-XX:+Use") && a.endsWith("GC")))
+    val heap = sys.env.getOrElse("SPARK_GRAFT_SCALE_HEAP", "20g")
     val cmd = Seq(javaBin) ++ jvmArgs ++
       // concurrent GC: each measured stage allocates ~325 MB of message
       // arrays; G1's stop-the-world young pauses were a per-STAGE fixed
       // cost (~40 ms) that the efficiency ratio is maximally sensitive to.
       // ZGC converts that into concurrent barrier work — per-core CPU,
       // which scales
-      Seq("-XX:+UseZGC") ++
+      // AlwaysPreTouch: ZGC commits heap pages lazily, so the first
+      // measured trial paid page-commit faults for ~2 GB of message/acc
+      // arrays (trial 1 ran 2-4x slow in EVERY fork despite a full-length
+      // JIT warmup); pre-touching moves that cost into (untimed) JVM start
+      Seq(s"-Xmx$heap", "-XX:+UseZGC", "-XX:+AlwaysPreTouch") ++
       Seq("-cp", sys.props("java.class.path"), "graft.Scaling")
     val pb = new ProcessBuilder(cmd: _*)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
@@ -292,11 +345,29 @@ object Scaling {
       "SPARK_GRAFT_SCALE_CONVS" -> nConv.toString,
       "SPARK_GRAFT_SCALE_EDGES_DIR" -> edgesDir))
     try {
-      val lo = runForked(cpusLo, nConv, iters, Some(edgesDir))
-      val hi = runForked(cpusHi, nConv, iters, Some(edgesDir))
+      // ALTERNATE the legs across several fresh-JVM forks and take each
+      // level's min across forks: the sandbox VM has multi-minute noisy
+      // windows (measured trials 3-4x apart within one fork), and running
+      // each level in one contiguous window would hand whichever leg drew
+      // the noisy window a biased time. Interleaving exposes both levels
+      // to the same noise distribution; min-of-all approximates machine
+      // capacity per level.
+      val forks = sys.env.getOrElse("SPARK_GRAFT_SCALE_FORKS", "3").toInt
+      var lo: RunResult = null
+      var hi: RunResult = null
+      for (_ <- 1 to forks) {
+        val l = runForked(cpusLo, nConv, iters, Some(edgesDir))
+        val h = runForked(cpusHi, nConv, iters, Some(edgesDir))
+        if (lo == null || l.seconds < lo.seconds) lo = l
+        if (hi == null || h.seconds < hi.seconds) hi = h
+      }
       val eff = (lo.seconds / hi.seconds) / (cpusHi.toDouble / cpusLo)
+      // the 8→32 pair is OPT-IN (SPARK_GRAFT_SCALE_SECONDARY=1): it is
+      // diagnostic only (the one-box DRAM-bus analysis lives in
+      // BASELINE.md) and two extra fresh-JVM legs push the whole bench
+      // against the driver's timeout
       val secondary =
-        if (sys.env.get("SPARK_GRAFT_SCALE_SECONDARY").contains("0")) None
+        if (!sys.env.get("SPARK_GRAFT_SCALE_SECONDARY").contains("1")) None
         else {
           val lo8 = runForked(8, nConv, iters, Some(edgesDir))
           val hi32 = runForked(32, nConv, iters, Some(edgesDir))
@@ -344,7 +415,9 @@ object Scaling {
           s""""seconds":${f"${r.seconds}%.2f"},""" +
           s""""iters_per_sec":${f"${r.itersPerSec}%.3f"}}""")
       case None if sys.env.get("SPARK_GRAFT_SCALE_FORKED").contains("1") =>
-        val (lo, hi, eff, secondary) = pairForked(nConv = nConv, iters = iters)
+        val cpusLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt
+        val (lo, hi, eff, secondary) = pairForked(cpusLo = cpusLo,
+          cpusHi = 4 * cpusLo, nConv = nConv, iters = iters)
         println(json(lo, hi, eff, secondary))
       case None =>
         val (lo, hi, eff) = pair(nConv = nConv, iters = iters)

@@ -132,6 +132,124 @@ object CsrDirect {
     def unpersistAll(): Unit = blockStates.unpersist()
   }
 
+  // ---- state spill/restore (raw little-endian array dump, LOCAL-mode
+  // scaling bench only: executors and driver share one filesystem) ----
+  //
+  // Why not saveAsObjectFile: Java deserialization of the ~3 GB of
+  // primitive arrays ran at ~20 MB/s/core (a 4-thread leg spent 188 s
+  // "loading"); bulk ByteBuffer reads run at page-cache speed, so each
+  // measured leg starts in seconds regardless of its thread count. The
+  // per-block state is thread-count-independent because the block layout
+  // is pinned across parallelism levels by design.
+
+  private def putLongs(ch: java.nio.channels.FileChannel,
+                       a: Array[Long]): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(4 + a.length * 8)
+    bb.putInt(a.length)
+    bb.asLongBuffer().put(a)
+    bb.position(bb.position() + a.length * 8)
+    bb.flip()
+    while (bb.hasRemaining) ch.write(bb)
+  }
+  private def putInts(ch: java.nio.channels.FileChannel,
+                      a: Array[Int]): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(4 + a.length * 4)
+    bb.putInt(a.length)
+    bb.asIntBuffer().put(a)
+    bb.position(bb.position() + a.length * 4)
+    bb.flip()
+    while (bb.hasRemaining) ch.write(bb)
+  }
+  private def putDoubles(ch: java.nio.channels.FileChannel,
+                         a: Array[Double]): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(4 + a.length * 8)
+    bb.putInt(a.length)
+    bb.asDoubleBuffer().put(a)
+    bb.position(bb.position() + a.length * 8)
+    bb.flip()
+    while (bb.hasRemaining) ch.write(bb)
+  }
+  private def getLongs(bb: java.nio.ByteBuffer): Array[Long] = {
+    val n = bb.getInt; val a = new Array[Long](n)
+    bb.asLongBuffer().get(a); bb.position(bb.position() + n * 8); a
+  }
+  private def getInts(bb: java.nio.ByteBuffer): Array[Int] = {
+    val n = bb.getInt; val a = new Array[Int](n)
+    bb.asIntBuffer().get(a); bb.position(bb.position() + n * 4); a
+  }
+  private def getDoubles(bb: java.nio.ByteBuffer): Array[Double] = {
+    val n = bb.getInt; val a = new Array[Double](n)
+    bb.asDoubleBuffer().get(a); bb.position(bb.position() + n * 8); a
+  }
+
+  /** Persist a prepared state: one raw binary file per block + a meta
+    * line. Local mode only (the writer runs on executor threads of the
+    * same machine).
+    */
+  def saveState(st: DirectState, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    st.blockStates.foreachPartition { it: Iterator[DirectBlock] =>
+      it.foreach { db =>
+        val p = java.nio.file.Paths.get(s"$dir/block-${db.pre.blockId}.bin")
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          val hdr = java.nio.ByteBuffer.allocate(4)
+          hdr.putInt(db.pre.blockId); hdr.flip()
+          while (hdr.hasRemaining) ch.write(hdr)
+          putLongs(ch, db.pre.vids); putLongs(ch, db.pre.dstVids)
+          putInts(ch, db.pre.srcT); putInts(ch, db.pre.dstT)
+          putInts(ch, db.pre.wT); putLongs(ch, db.pre.wdegLoc)
+          putDoubles(ch, db.wdegG)
+          putInts(ch, db.sendBlocks)
+          db.sendIdx.foreach(putInts(ch, _))
+          putInts(ch, db.recvBlocks)
+          db.recvIdx.foreach(putInts(ch, _))
+          putInts(ch, db.primary)
+        } finally ch.close()
+      }
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/meta.txt"), s"${st.n} ${st.nBlocks}\n")
+  }
+
+  /** Restore a [[saveState]] dump: partition i reads block i's file in
+    * bulk — page-cache speed, independent of the session's thread count.
+    */
+  def loadState(spark: SparkSession, dir: String): DirectState = {
+    val meta = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$dir/meta.txt"))
+      .trim.split("\\s+")
+    val (n, nBlocks) = (meta(0).toLong, meta(1).toInt)
+    val rdd = spark.sparkContext
+      .parallelize(0 until nBlocks, nBlocks)
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$dir/block-$id.bin"))
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val blockId = bb.getInt
+          val vids = getLongs(bb); val dstVids = getLongs(bb)
+          val srcT = getInts(bb); val dstT = getInts(bb)
+          val wT = getInts(bb); val wdegLoc = getLongs(bb)
+          val wdegG = getDoubles(bb)
+          val sendBlocks = getInts(bb)
+          val sendIdx = sendBlocks.map(_ => getInts(bb))
+          val recvBlocks = getInts(bb)
+          val recvIdx = recvBlocks.map(_ => getInts(bb))
+          val primary = getInts(bb)
+          DirectBlock(PreBlock(blockId, vids, dstVids, srcT, dstT, wT,
+            wdegLoc), wdegG, sendBlocks, sendIdx, recvBlocks, recvIdx,
+            primary)
+        }
+      }
+      .localCheckpoint()
+    rdd.count()
+    DirectState(rdd, n, nBlocks)
+  }
+
   /** PreBlock assembly straight from (blockId, src, dst, wgt) rows — the
     * memory-lean large-graph path: never materializes [[Csr.Block]]'s
     * 8-byte global adjacency + 8-byte long weights (building full Blocks

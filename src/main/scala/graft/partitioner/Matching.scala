@@ -123,13 +123,16 @@ object Matching {
     *
     * Returns pairs (u, v) with u < v.
     */
-  def matchLeaves(edges: DataFrame, vertices: DataFrame,
-                  maxVwgt: Long): DataFrame = {
+  def matchLeaves(edges: DataFrame, vertices: DataFrame, maxVwgt: Long,
+                  eligible: Option[DataFrame] = None): DataFrame = {
     val deg = GraphOps.degrees(edges).select(col("vid"), col("deg"))
-    val leaves = GraphOps.symmetrize(edges)
+    val leaves0 = GraphOps.symmetrize(edges)
       .join(deg.filter(col("deg") === 1).select(col("vid").as("src")), "src")
       .select(col("src").as("leaf"), col("dst").as("parent"))
       .join(vertices.select(col("vid").as("leaf"), col("vwgt")), "leaf")
+    // dispatch use (M5): only still-unmatched vertices may pair
+    val leaves = eligible.fold(leaves0)(el =>
+      leaves0.join(el.select(col("vid").as("leaf")), Seq("leaf"), "left_semi"))
     // pair consecutive leaves (vid order) within each parent: rank r pairs
     // with r+1 for odd r (1-based) — one aggregation, no self-join
     val ranked = leaves.withColumn("r", row_number().over(
@@ -154,14 +157,17 @@ object Matching {
     * parameter). Returns pairs (u, v) with u < v.
     */
   def matchTwins(edges: DataFrame, vertices: DataFrame, maxVwgt: Long,
-                 maxDeg: Long = 64L): DataFrame = {
-    val sigs = GraphOps.symmetrize(edges).repartition(col("src"))
+                 maxDeg: Long = 64L,
+                 eligible: Option[DataFrame] = None): DataFrame = {
+    val sigs0 = GraphOps.symmetrize(edges).repartition(col("src"))
       .groupBy(col("src").as("vid"))
       .agg(md5(concat_ws(",", transform(
         sort_array(collect_list(col("dst"))), d => d.cast("string"))))
         .as("sig"), count(lit(1)).as("deg"))
       .filter(col("deg") <= maxDeg)
       .join(vertices.select(col("vid"), col("vwgt")), "vid")
+    val sigs = eligible.fold(sigs0)(el =>
+      sigs0.join(el.select(col("vid")), Seq("vid"), "left_semi"))
     val ranked = sigs.withColumn("r", row_number().over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col("sig")).orderBy(col("vid"))))
@@ -171,5 +177,39 @@ object Matching {
         count(lit(1)).as("n"), sum(col("vwgt")).as("w"))
       .filter(col("n") === 2 && col("w") <= maxVwgt)
       .select(col("u"), col("v"))
+  }
+
+  /** M5 dispatch extension: 2-hop augmentation of a stalled matching
+    * (Metis's Match_2HopAll remedy, which the reference's disabled
+    * leaf/twin schemes re-implement — src/aggregate.c:847,982). SHEM can
+    * never pair a hub's leaves with each other (they share no edge), so a
+    * star-heavy level stalls at self-match ratio ≥ 1/3; leaf pairs (M4)
+    * and twin pairs (M4/O2) among the still-unmatched vertices fix exactly
+    * that shape. Leaves (degree 1) and twins (degree ≥ 2 via the leaf
+    * anti-join) are disjoint families, and pairing within each family is
+    * disjoint by construction, so the augmented cmap stays a matching.
+    *
+    * `cmap(vid, coarse)`: self-matched rows may be re-pointed at a 2-hop
+    * partner (coarse = min of the pair, the [[cmapMC]] contract).
+    */
+  def augment2Hop(edges: DataFrame, vertices: DataFrame, cmap: DataFrame,
+                  cap: Long, maxDeg: Long = 64L): DataFrame = {
+    val selfies = cmap.filter(col("vid") === col("coarse"))
+      .select(col("vid"))
+    val vw = vertices.select(col("vid"),
+      element_at(col("vwgts"), 1).as("vwgt"))
+    val leafP = matchLeaves(edges, vw, cap, Some(selfies))
+    val leafV = leafP.select(col("u").as("vid"))
+      .unionByName(leafP.select(col("v").as("vid")))
+    val twinP = matchTwins(edges, vw, cap, maxDeg, Some(selfies))
+      .join(leafV.withColumnRenamed("vid", "u"), Seq("u"), "left_anti")
+      .join(leafV.withColumnRenamed("vid", "v"), Seq("v"), "left_anti")
+    val upd = leafP.unionByName(twinP)
+      .select(col("u").as("vid"), col("u").as("c2"))
+      .unionByName(leafP.unionByName(twinP)
+        .select(col("v").as("vid"), col("u").as("c2")))
+    graft.plans.Plans.checkpoint(
+      cmap.join(upd, Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("c2"), col("coarse")).as("coarse")))
   }
 }

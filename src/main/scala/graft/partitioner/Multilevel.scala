@@ -121,6 +121,11 @@ object Multilevel {
           scheme = Matching.RM, seed = levelSeed)
         val rmPaired = rm.filter(col("vid") =!= col("coarse")).count()
         if (rmPaired > paired) cmap = rm
+        // still stalled after RM -> 2-hop augmentation (leaf/twin pairs,
+        // the star/hub shape neither edge-matching scheme can coarsen)
+        val best = math.max(paired, rmPaired)
+        if (nvtxs - 2 * best >= nvtxs / 3)
+          cmap = Matching.augment2Hop(edges, vertices, cmap, caps(0))
       }
       levelSeed += 1
       val (ce, cv) = Contraction.contractMC(edges, vertices, cmap, ncon)

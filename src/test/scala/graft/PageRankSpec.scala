@@ -122,4 +122,25 @@ class PageRankSpec extends SparkSpec {
       }
     }
   }
+
+  test("CsrDirect state save/load round-trip is bit-exact") {
+    val e = Fixtures.zipf(300)
+    val verts = Fixtures.vertsOf(e)
+    val st = graft.operators.CsrDirect.prepareRows(spark, edgesDf(e),
+      vertsDf(verts), numBlocks = 4)
+    val want = collectRanks(
+      graft.operators.CsrDirect.toRanksDf(spark, st, 0.85,
+        graft.operators.CsrDirect.iterate(st, 0.85, 6), vertsDf(verts)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dstate")
+      .toString
+    graft.operators.CsrDirect.saveState(st, dir)
+    st.unpersistAll()
+    val st2 = graft.operators.CsrDirect.loadState(spark, dir)
+    assert(st2.n == st.n && st2.nBlocks == st.nBlocks)
+    val got = collectRanks(
+      graft.operators.CsrDirect.toRanksDf(spark, st2, 0.85,
+        graft.operators.CsrDirect.iterate(st2, 0.85, 6), vertsDf(verts)))
+    st2.unpersistAll()
+    assert(got == want, "loaded state must reproduce ranks bit-exactly")
+  }
 }

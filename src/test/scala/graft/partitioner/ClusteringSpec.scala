@@ -131,6 +131,26 @@ class ClusteringSpec extends SparkSpec {
     assert(g(0).getAs[Long]("min_vid") == 1L)
   }
 
+  test("2-hop augmentation unsticks a stalled star matching (M5+M4)") {
+    // SHEM on a star pairs the hub with ONE leaf; the rest self-match
+    // (leaves share no edge). augment2Hop must pair them via the parent.
+    val e = Fixtures.star17
+    val verts = spark.createDataFrame(
+      Fixtures.vertsOf(e).map(v => (v, Array(1L)))).toDF("vid", "vwgts")
+    val cmap0 = Matching.cmapMC(edgesDf(e), verts, Array(100L))
+    val self0 = cmap0.filter(col("vid") === col("coarse")).count()
+    assert(self0 >= 14, s"star should stall SHEM, self-matched = $self0")
+    val cmap1 = Matching.augment2Hop(edgesDf(e), verts, cmap0, 100L)
+    val m = cmap1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // still a matching: every coarse id has <= 2 members
+    val sizes = m.groupBy(_._2).map(_._2.length)
+    assert(sizes.max <= 2)
+    // nearly everything pairs: at most 1 leftover (odd count) + hub pair
+    val self1 = m.count { case (v, c) => v == c && !m.exists(t =>
+      t._1 != v && t._2 == c) }
+    assert(self1 <= 2, s"2-hop left $self1 unmatched on a star")
+  }
+
   test("visitOrder ranks by capped degree ascending (W1)") {
     val e = Fixtures.star17 // hub deg 16, leaves deg 1, avg 2 -> cap 2
     val vo = GraphOps.visitOrder(edgesDf(e)).collect()
