@@ -235,6 +235,10 @@ object Scaling {
       // per second of wall clock
       val wu = if (warmupIters > 0) warmupIters else iters
       force(iterate(wu))
+      // drain the warmup's ~3 GB of message-array garbage BEFORE trial 1:
+      // without this, ZGC's concurrent cycle for it overlapped the first
+      // trial (trial 1 measured 3-6x slow in every fork, even post-warmup)
+      System.gc(); Thread.sleep(2000)
       // min over trials: the sandbox VM has intermittent noisy-neighbor CPU
       // stalls; the minimum approximates true machine capacity (standard
       // practice for contended-host benchmarking)
@@ -352,14 +356,18 @@ object Scaling {
       // the noisy window a biased time. Interleaving exposes both levels
       // to the same noise distribution; min-of-all approximates machine
       // capacity per level.
-      val forks = sys.env.getOrElse("SPARK_GRAFT_SCALE_FORKS", "3").toInt
+      val forks = sys.env.getOrElse("SPARK_GRAFT_SCALE_FORKS", "4").toInt
       var lo: RunResult = null
       var hi: RunResult = null
-      for (_ <- 1 to forks) {
-        val l = runForked(cpusLo, nConv, iters, Some(edgesDir))
-        val h = runForked(cpusHi, nConv, iters, Some(edgesDir))
-        if (lo == null || l.seconds < lo.seconds) lo = l
-        if (hi == null || h.seconds < hi.seconds) hi = h
+      for (k <- 1 to forks) {
+        // alternate the order (lo,hi / hi,lo) so slow drift in machine
+        // load doesn't systematically favor whichever level runs first
+        val order = if (k % 2 == 1) Seq(cpusLo, cpusHi) else Seq(cpusHi, cpusLo)
+        order.foreach { c =>
+          val r = runForked(c, nConv, iters, Some(edgesDir))
+          if (c == cpusLo) { if (lo == null || r.seconds < lo.seconds) lo = r }
+          else if (hi == null || r.seconds < hi.seconds) hi = r
+        }
       }
       val eff = (lo.seconds / hi.seconds) / (cpusHi.toDouble / cpusLo)
       // the 8→32 pair is OPT-IN (SPARK_GRAFT_SCALE_SECONDARY=1): it is
