@@ -132,8 +132,9 @@ object CsrDirect {
     def unpersistAll(): Unit = blockStates.unpersist()
   }
 
-  // ---- state spill/restore (raw little-endian array dump, LOCAL-mode
-  // scaling bench only: executors and driver share one filesystem) ----
+  // ---- state spill/restore (raw big-endian array dump — ByteBuffer's
+  // default order; self-consistent round-trip only, LOCAL-mode scaling
+  // bench: executors and driver share one filesystem) ----
   //
   // Why not saveAsObjectFile: Java deserialization of the ~3 GB of
   // primitive arrays ran at ~20 MB/s/core (a 4-thread leg spent 188 s

@@ -56,8 +56,18 @@ object EventsGraph {
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
+  /** Drop entries whose session has stopped so checkpointed DataFrames
+    * and their RDD blocks don't stay pinned for the JVM lifetime when a
+    * caller (e.g. a test suite) creates and stops many sessions.
+    */
+  private def purgeStopped(): Unit = {
+    val it = memo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
   /** Canonical simple edge table (src, dst, wgt), src < dst. */
-  def edges(spark: SparkSession, sfDir: String): DataFrame =
+  def edges(spark: SparkSession, sfDir: String): DataFrame = {
+    purgeStopped()
     memo.computeIfAbsent((spark, sfDir, "edges"), _ => {
       val ts = transcripts(spark, sfDir)
       graft.plans.Plans.checkpoint(
@@ -65,12 +75,15 @@ object EventsGraph {
           EdgeDeriver.edges(ts, vertexDict(ts),
             EdgeDeriver.Config(hubCap = HubCap))))
     })
+  }
 
   /** Vertex set (vid) incl. both kinds. */
-  def vertices(spark: SparkSession, sfDir: String): DataFrame =
+  def vertices(spark: SparkSession, sfDir: String): DataFrame = {
+    purgeStopped()
     memo.computeIfAbsent((spark, sfDir, "verts"), _ =>
       graft.plans.Plans.checkpoint(
         vertexDict(transcripts(spark, sfDir)).select(col("vid"))))
+  }
 
   // ---------------------------------------------------------------- oracle
 

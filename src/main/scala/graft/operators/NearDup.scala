@@ -76,8 +76,10 @@ object NearDup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (docId, text) =>
+          if (text == null) Iterator.empty // SQL explode(null array) emits 0 rows
+          else {
           // split(text, ' ') keeps trailing empties (Spark limit -1)
-          val words = if (text == null) Array("") else text.split(" ", -1)
+          val words = text.split(" ", -1)
           val wh1 = words.map(charHash(_, 31, P))
           val wh2 = words.map(charHash(_, 131, P2))
           val nSh = math.max(1, words.length - (n - 1))
@@ -100,7 +102,8 @@ object NearDup {
           val itOut = out.iterator()
           var k = 0
           while (itOut.hasNext) { ids(k) = (docId, itOut.next()); k += 1 }
-          ids
+          ids.iterator
+          }
         }
       }
       .toDF("doc_id", "sh")

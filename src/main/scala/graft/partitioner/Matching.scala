@@ -194,8 +194,14 @@ object Matching {
     */
   def augment2Hop(edges: DataFrame, vertices: DataFrame, cmap: DataFrame,
                   cap: Long, maxDeg: Long = 64L): DataFrame = {
-    val selfies = cmap.filter(col("vid") === col("coarse"))
-      .select(col("vid"))
+    // Self-matched = coarse group of size 1. `vid === coarse` is NOT
+    // equivalent: cmapMC emits (u,u),(v,u) for a matched pair u<v, so the
+    // pair's min member also satisfies vid === coarse; re-pointing it at a
+    // 2-hop partner while v still points at u would create a 3-member
+    // coarse group and silently exceed the weight cap.
+    val selfies = cmap.groupBy(col("coarse")).agg(count(lit(1)).as("gsz"))
+      .filter(col("gsz") === 1)
+      .select(col("coarse").as("vid"))
     val vw = vertices.select(col("vid"),
       element_at(col("vwgts"), 1).as("vwgt"))
     val leafP = matchLeaves(edges, vw, cap, Some(selfies))

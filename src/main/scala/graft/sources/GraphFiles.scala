@@ -182,8 +182,14 @@ object GraphFiles {
       .filter(col("col").isNotNull)
       .groupBy(col("row"), (col("pos") / 2).cast("long").as("pair"))
       .agg(min(struct(col("pos"), col("col"))).as("c"),
-        max(struct(col("pos"), col("col"))).as("v"))
-      .select(col("row"), col("c.col").cast("long").as("col"),
+        max(struct(col("pos"), col("col"))).as("v"),
+        count(lit(1)).as("n"))
+      // a lone trailing token (odd token count) is a malformed line, not a
+      // (col==val) entry — fail loudly like the reference pair-reader would
+      .select(col("row"),
+        when(col("n") === 2, col("c.col")).otherwise(raise_error(concat(
+          lit("malformed CSR line (odd token count) at row "),
+          col("row").cast("string")))).cast("long").as("col"),
         col("v.col").cast("double").as("val"))
     val minCol = entries.agg(min(col("col"))).head().get(0)
     val base = if (minCol != null && minCol.asInstanceOf[Long] > 0L) 1L else 0L

@@ -151,6 +151,28 @@ class ClusteringSpec extends SparkSpec {
     assert(self1 <= 2, s"2-hop left $self1 unmatched on a star")
   }
 
+  test("augment2Hop leaves matched-pair roots alone (hub vid > leaf vid)") {
+    // Inverted star: hub is vid 16, leaves 0..15. cmapMC emits (u,u),(v,u)
+    // for pair u<v, so the hub's matched LEAF partner satisfies
+    // vid === coarse; a vid===coarse selfie filter would re-point that
+    // leaf at a 2-hop twin while the hub still points at it — a 3-member
+    // coarse group. The group-size-1 selfie definition must not.
+    val e = (0L to 15L).map(l => (16L, l, 1L))
+    val verts = spark.createDataFrame(
+      Fixtures.vertsOf(e).map(v => (v, Array(1L)))).toDF("vid", "vwgts")
+    val cmap0 = Matching.cmapMC(edgesDf(e), verts, Array(100L))
+    val matched0 = cmap0.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // precondition for the regression: some pair root is a leaf
+    assert(matched0.groupBy(_._2).exists(_._2.length == 2))
+    val cmap1 = Matching.augment2Hop(edgesDf(e), verts, cmap0, 2L)
+    val m = cmap1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = m.groupBy(_._2).map(_._2.length)
+    assert(sizes.max <= 2, s"coarse group exceeded pair size: $sizes")
+    // matched pairs from cmap0 survive intact
+    for ((c, mem) <- matched0.groupBy(_._2) if mem.length == 2)
+      assert(m.count(_._2 == c) == 2, s"pair at coarse $c was broken")
+  }
+
   test("visitOrder ranks by capped degree ascending (W1)") {
     val e = Fixtures.star17 // hub deg 16, leaves deg 1, avg 2 -> cap 2
     val vo = GraphOps.visitOrder(edgesDf(e)).collect()
