@@ -67,8 +67,11 @@ object SparkEntry {
       GraphOps.degrees(EventsGraph.edges(s, d))),
     "q_edge_ranges" -> { (s, d) =>
       val e = EventsGraph.edges(s, d)
-      val bounds = GraphOps.edgeBalancedRanges(e, NumRanges)
-      GraphOps.degrees(e).select(col("vid"),
+      // degrees feeds BOTH the range computation and the output join:
+      // materialize once instead of re-aggregating |E| rows twice
+      val deg = graft.plans.Plans.checkpoint(GraphOps.degrees(e))
+      val bounds = GraphOps.edgeBalancedRangesFromDeg(deg, NumRanges)
+      deg.select(col("vid"),
         GraphOps.rangeIdFor(col("vid"), bounds).cast("bigint").as("range_id"))
     },
     "q_csr_stats" -> { (s, d) =>
@@ -88,7 +91,7 @@ object SparkEntry {
       // edge-granular balanced blocks (hub-splitting, P15): identical PR
       // result as the vid-range layout, same oracle
       val e = EventsGraph.edges(s, d)
-      Csr.pageRank(s, Csr.buildBalanced(s, e, NumRanges),
+      Csr.pageRank(s, Csr.buildBalancedCached(s, e, NumRanges, d),
           EventsGraph.vertices(s, d), 0.85, 5)
         .select(col("vid"), round(col("rank"), 6).as("rank"))
     },
@@ -97,7 +100,7 @@ object SparkEntry {
       // iteration, dense-array messages over precomputed routing — must
       // compute the exact same function as the DataFrame paths
       val e = EventsGraph.edges(s, d)
-      graft.operators.CsrFast.pageRank(s, Csr.buildBalanced(s, e, NumRanges),
+      graft.operators.CsrFast.pageRank(s, Csr.buildBalancedCached(s, e, NumRanges, d),
           EventsGraph.vertices(s, d), 0.85, 5, numParts = NumRanges)
         .select(col("vid"), round(col("rank"), 6).as("rank"))
     },
@@ -106,13 +109,13 @@ object SparkEntry {
       // the out-edge owner, ONE all-to-all per iteration — must compute the
       // exact same function as the two-exchange CsrFast path
       val e = EventsGraph.edges(s, d)
-      graft.operators.CsrDirect.pageRank(s, Csr.buildBalanced(s, e, NumRanges),
+      graft.operators.CsrDirect.pageRank(s, Csr.buildBalancedCached(s, e, NumRanges, d),
           EventsGraph.vertices(s, d), 0.85, 5)
         .select(col("vid"), round(col("rank"), 6).as("rank"))
     },
     "q_csr_edge_stats" -> { (s, d) =>
       val e = EventsGraph.edges(s, d)
-      Csr.stats(s, Csr.buildBalanced(s, e, NumRanges))
+      Csr.stats(s, Csr.buildBalancedCached(s, e, NumRanges, d))
         .select(col("block_id").cast("bigint").as("block_id"),
           col("nvtxs").cast("bigint").as("nvtxs"),
           col("nedges").cast("bigint").as("nedges"))

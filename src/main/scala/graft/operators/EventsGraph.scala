@@ -41,6 +41,11 @@ object EventsGraph {
       s"conv vid $maxConv >= ToolBase $ToolBase: id scheme would collide")
     val tools = ts.filter(col("tool").isNotNull)
       .select(col("tool").as("key")).distinct()
+      // GLOBAL window: safe ONLY because tool cardinality is bounded (a
+      // fixed tool vocabulary, dozens of rows after distinct). This is the
+      // trusted-gate path; production-scale id assignment uses the
+      // bucketed dictionary in EdgeDeriver.vertices. If tools ever become
+      // unbounded, switch this to GraphOps.bucketedGlobalRank.
       .withColumn("vid",
         lit(ToolBase) + dense_rank().over(Window.orderBy(col("key"))).cast("bigint") - 1)
       .select(col("vid"), lit("tool").as("kind"), col("key"))

@@ -82,13 +82,54 @@ object GraphOps {
       .select(col("vid"), col("deg"), (col("boff") + col("cumLocal")).as("cum"))
   }
 
+  /** Exact global dense row-number over `orderCols` WITHOUT a global
+    * single-task window (the W1/A11 two-phase pattern, rank flavour):
+    * bucket on a numeric `bkey` column that is monotone (not necessarily
+    * strictly) in the lexicographic order of `orderCols` — approximate
+    * quantile boundaries only steer execution; exactness comes from the
+    * within-bucket ordered window plus exact driver-side prefix counts of
+    * the bucket sizes. Ties in bkey land in one bucket, so any total
+    * order refined by bkey is reproduced exactly.
+    * Returns the input plus a 1-based `rankCol` long column.
+    */
+  private[graft] def bucketedGlobalRank(df: DataFrame, bkey: Column,
+      orderCols: Seq[Column], rankCol: String,
+      buckets: Int = 64): DataFrame = {
+    val keyed = df.withColumn("_bkey", bkey.cast("double"))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bnds = keyed.stat.approxQuantile("_bkey", probs, 0.01)
+      .distinct.sorted
+    val bucketCol = bnds.zipWithIndex.foldRight(lit(bnds.length)) {
+      case ((hi, i), e) => when(col("_bkey") <= hi, lit(i)).otherwise(e)
+    }
+    val withB = keyed.withColumn("_bkt", bucketCol.cast("int"))
+    val counts = withB.groupBy(col("_bkt")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val nB = bnds.length + 1
+    val offs = (0 until nB).scanLeft(0L)((acc, b) =>
+      acc + counts.getOrElse(b, 0L))
+    val offsDf = df.sparkSession.createDataFrame(
+      (0 until nB).map(b => (b, offs(b)))).toDF("_bkt", "_boff")
+    val w = Window.partitionBy(col("_bkt")).orderBy(orderCols: _*)
+    withB.withColumn("_r", row_number().over(w))
+      .join(broadcast(offsDf), "_bkt")
+      .withColumn(rankCol, (col("_boff") + col("_r")).cast("long"))
+      .drop("_bkey", "_bkt", "_boff", "_r")
+  }
+
   /** Edge-balanced range boundaries (reference P1): split the vid domain so
     * each of `numRanges` contiguous vid ranges carries ≈ equal *edges*, via
     * the bucketed degree cumulative sum ([[cumDegByVid]]).
     * Returns the ordered upper-bound vids.
     */
-  def edgeBalancedRanges(edges: DataFrame, numRanges: Int): Array[Long] = {
-    val deg = degrees(edges)
+  def edgeBalancedRanges(edges: DataFrame, numRanges: Int): Array[Long] =
+    edgeBalancedRangesFromDeg(degrees(edges), numRanges)
+
+  /** [[edgeBalancedRanges]] over an already-computed (ideally checkpointed)
+    * degree table, so callers that also consume `degrees` themselves don't
+    * pay the |E|-row aggregation twice.
+    */
+  def edgeBalancedRangesFromDeg(deg: DataFrame, numRanges: Int): Array[Long] = {
     val total = deg.agg(sum(col("deg"))).head().getLong(0)
     val quota = math.max(1L, total / numRanges)
     cumDegByVid(deg)
@@ -283,11 +324,16 @@ object GraphOps {
       degrees(edges).select(col("vid"), col("deg")))
     val avgDeg = deg.agg(avg(col("deg"))).head().getDouble(0)
     val cap = math.floor(0.7 * avgDeg).toLong + 1L
-    deg.select(col("vid"), least(col("deg"), lit(cap)).as("capped_deg"),
-        pmod(col("vid") * lit(2654435761L), lit(2147483647L)).as("h"))
-      .withColumn("visit_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("capped_deg"), col("h"), col("vid"))).cast("long"))
+    val keyed = deg.select(col("vid"),
+      least(col("deg"), lit(cap)).as("capped_deg"),
+      pmod(col("vid") * lit(2654435761L), lit(2147483647L)).as("h"))
+    // exact global rank via the bucketed two-phase pattern — the double
+    // bkey capped_deg·2³¹ + h is monotone in (capped_deg, h) (rounding is
+    // monotone), so bucket order refines the true order and the
+    // within-bucket window restores exactness incl. the vid tiebreak
+    bucketedGlobalRank(keyed,
+        col("capped_deg") * lit(2147483648.0) + col("h"),
+        Seq(col("capped_deg"), col("h"), col("vid")), "visit_rank")
       .select(col("vid"), col("capped_deg"), col("visit_rank"))
   }
 }

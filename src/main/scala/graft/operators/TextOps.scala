@@ -117,17 +117,46 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
   def langId(docs: DataFrame): DataFrame = {
-    val toks = split(lower(col("text")), " ")
-    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(size(array_intersect(toks, array(markers.map(lit): _*))).as("hits"),
-        lit(lang).as("lang"))
-    }
-    // argmax hits; struct-max tie-break = lexicographically-last lang
-    // (deterministic either way)
-    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
-      array_max(array(scored: _*)).as("m"))
-      .select(col("doc_id"), col("labeled_lang"),
-        col("m.lang").as("predicted_lang"), col("m.hits").as("score"))
+    // typed mapPartitions kernel (the NearDup.shingles pattern; the SQL
+    // spelling in the oracle is the spec): the former column pipeline
+    // inlined `split(lower(text))` into one array_intersect PER LANGUAGE —
+    // Catalyst re-evaluated the tokenize 5x per row and the query cost
+    // 31 s at sf0.1. Tokenizing once per row into a hash set and counting
+    // marker membership computes the identical distinct-hit scores
+    // (markers within a language are unique, so membership count =
+    // |distinct(toks) ∩ markers|) with the same (hits, lang) struct-max
+    // tie-break: argmax hits, lexicographically-LAST language on ties.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val langs: Array[(String, Array[String])] = LangMarkers.toSeq
+      .sortBy(_._1).map { case (l, ms) => (l, ms.toArray) }.toArray
+    docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, labeled, text) =>
+          val toks = new java.util.HashSet[String]()
+          if (text != null) {
+            // split(text, ' ') keeps trailing empties (limit -1), like SQL
+            val ws = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+            var k = 0
+            while (k < ws.length) { toks.add(ws(k)); k += 1 }
+          }
+          var bestHits = Int.MinValue; var bestLang: String = null
+          var i = 0
+          while (i < langs.length) {
+            val lang = langs(i)._1; val ms = langs(i)._2
+            var hits = 0; var j = 0
+            while (j < ms.length) { if (toks.contains(ms(j))) hits += 1; j += 1 }
+            if (hits > bestHits ||
+                (hits == bestHits && lang.compareTo(bestLang) > 0)) {
+              bestHits = hits; bestLang = lang
+            }
+            i += 1
+          }
+          (id, labeled, bestLang, bestHits)
+        }
+      }
+      .toDF("doc_id", "labeled_lang", "predicted_lang", "score")
   }
 
   /** Polynomial rolling-hash document fingerprint (base 31, mod 2^31−1;
