@@ -82,11 +82,9 @@ object Bench {
         // raises W per heap byte, keeping the persisted CSR state inside
         // the default 20g heap (NOTES.md round 3)
         val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "1500000").toLong
-        val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "12").toInt
+        val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "40").toInt
         try {
-          val (lo, hi, eff, secondary) =
-            Scaling.pairForked(nConv = nConv, iters = iters)
-          Scaling.json(lo, hi, eff, secondary)
+          Scaling.json(Scaling.pairForked(nConv = nConv, iters = iters))
         } catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           s"""{"error":"${jsonEscape(msg)}"}"""
