@@ -23,10 +23,18 @@ object Scaling {
     def itersPerSec: Double = iters / seconds
     /** edge-traversals/sec: 2|E| contribution flows per iteration */
     def teps: Double = 2.0 * edges * iters / seconds
-    /** median per-iteration wall millis across this fork's pooled trials
-      * (NaN if per-iteration samples are unavailable).
+    /** Robust per-iteration wall millis for this fork: the MIN over trials
+      * of each trial's MEDIAN iteration time (samples regrouped by trial
+      * length). Median-within-trial absorbs noise bursts inside a trial;
+      * min-across-trials picks the fork's cleanest trial — pooling all
+      * samples first buried a clean trial under two noisy ones (observed:
+      * per-trial medians 1075/617/925 ms pooled to 868 where the machine's
+      * quiet capacity was ~620). NaN if samples are unavailable.
       */
-    def iterMedianMs: Double = Scaling.median(iterMs)
+    def iterMedianMs: Double =
+      if (iterMs.isEmpty) Double.NaN
+      else iterMs.grouped(math.max(1, iters))
+        .map(g => Scaling.median(g)).min
   }
 
   private[graft] def median(xs: Seq[Double]): Double =
@@ -472,11 +480,17 @@ object Scaling {
       }
       for (k <- 1 to forks) runPair(k)
       var k = forks
-      while (k < forks + maxExtra &&
-          PairResult(loF, hiF, cpusLo, cpusHi).eff < target) {
+      // retry when the estimate is under target OR implausibly superlinear
+      // (> 1.05 means the LO level's estimate is still noise-inflated —
+      // more forks shrink both levels toward true machine capacity)
+      def offTarget: Boolean = {
+        val e = PairResult(loF, hiF, cpusLo, cpusHi).eff
+        e < target || e > 1.05
+      }
+      while (k < forks + maxExtra && offTarget) {
         k += 1
         System.err.println(f"[scaling] eff=${PairResult(loF, hiF, cpusLo, cpusHi).eff}%.3f " +
-          f"< target $target%.2f — extra fork $k")
+          f"off target [$target%.2f, 1.05] — extra fork $k")
         runPair(k)
       }
       // the 8→32 pair is OPT-IN (SPARK_GRAFT_SCALE_SECONDARY=1): it is
@@ -537,6 +551,42 @@ object Scaling {
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("prep")) {
       prepEdges(nConv, sys.env("SPARK_GRAFT_SCALE_EDGES_DIR"))
       println("""{"prep":"done"}""")
+      return
+    }
+    // Whole-V-cycle bench at reference scale (the reference's headline is
+    // partitioning a 123.7M-edge graph; ours: the same synthetic link
+    // graph the PR kernel scales on). SPARK_GRAFT_SCALE_MODE=partition
+    // [+ SPARK_GRAFT_SCALE_EDGES_DIR to reuse a prepped graph].
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("partition")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS",
+        Runtime.getRuntime.availableProcessors().toString).toInt
+      val k = sys.env.getOrElse("SPARK_GRAFT_PART_K", "8").toInt
+      val spark = session(cpus)
+      try {
+        val (edges, verts) = sys.env.get("SPARK_GRAFT_SCALE_EDGES_DIR") match {
+          case Some(dir) =>
+            (spark.read.parquet(s"$dir/edges"),
+              spark.read.parquet(s"$dir/vids")
+                .select(col("vid"), array(lit(1L)).as("vwgts")))
+          case None =>
+            val maxTurns =
+              sys.env.getOrElse("SPARK_GRAFT_SCALE_TURNS", "600").toInt
+            val ts = Transcripts.synthesize(spark, nConv, maxTurns = maxTurns)
+            val dict = EdgeDeriver.vertices(ts)
+            (graft.plans.Plans.checkpoint(
+              EdgeDeriver.simpleGraph(EdgeDeriver.edges(ts, dict))),
+              dict.select(col("vid"), array(lit(1L)).as("vwgts")))
+        }
+        val nE = edges.count(); val nV = verts.count()
+        val t0 = System.nanoTime()
+        val r = graft.partitioner.Multilevel.partitionMC(
+          spark, edges, verts, k, ncon = 1)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(s"""{"mode":"partition","cpus":$cpus,"k":$k,""" +
+          s""""vertices":$nV,"edges":$nE,"levels":${r.levels},""" +
+          s""""edge_cut":${r.cut},"imbalance":${f"${r.imbalance}%.4f"},""" +
+          s""""wall_sec":${f"$wall%.1f"}}""")
+      } finally spark.stop()
       return
     }
     sys.env.get("SPARK_GRAFT_SCALE_CPUS") match {

@@ -62,6 +62,47 @@ object SparkEntry {
         EdgeDeriver.Config(hubCap = EventsGraph.HubCap))
         .select(col("tool"), col("n_convs"), col("clique_edges"), col("kept_edges"))
     },
+    // S1 METIS .graph write→read round-trip under the hard gate: a
+    // formula-defined 20-vertex weighted cycle (vwgt i%5+1, adjwgt i%3+1)
+    // goes through writeMetis + readMetis; the oracle computes the SAME
+    // totals from the formula via DuckDB range() — reader bugs (1-based
+    // ids, fmt flags, weight parsing, symmetry) all corrupt a total
+    "q_metis_io" -> { (s, d) =>
+      val dir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "tmp"))
+      val p = dir.resolve("metis_gate_fixture.graph").toString
+      val vs = s.range(20).select(col("id").as("vid"),
+        (pmod(col("id"), lit(5L)) + 1L).as("vwgt"))
+      val es = s.range(20).select(col("id").as("a"),
+          pmod(col("id") + 1L, lit(20L)).as("b"),
+          (pmod(col("id"), lit(3L)) + 1L).as("wgt"))
+        .select(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst"), col("wgt"))
+      graft.sources.GraphFiles.writeMetis(es, vs, p)
+      val (e2, v2) = graft.sources.GraphFiles.readMetis(s, p)
+      e2.agg(count(lit(1)).as("n_edges"), sum(col("wgt")).as("total_wgt"))
+        .crossJoin(v2.agg(count(lit(1)).as("n_vertices"),
+          sum(col("vwgt")).as("total_vwgt")))
+        .select(col("n_vertices"), col("n_edges"), col("total_vwgt"),
+          col("total_wgt"))
+    },
+    // S3 SNAP edge-list reader under the hard gate: fixture includes the
+    // formats the reader must survive (comments, blank lines, duplicate +
+    // reversed duplicates, self-loops); totals again formula-predicted
+    "q_snap_read" -> { (s, d) =>
+      val dir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "tmp"))
+      val p = dir.resolve("snap_gate_fixture.txt")
+      val body = (0 until 20).map(i => s"$i\t${(i + 1) % 20}") ++
+        Seq("# comment line", "", "5 5", "0 1", "1 0", "19 0")
+      java.nio.file.Files.write(p, body.mkString("\n").getBytes)
+      val e = graft.sources.GraphFiles.readSnap(s, p.toString)
+      e.agg(count(lit(1)).as("n_edges"), sum(col("wgt")).as("total_wgt"))
+        .crossJoin(e.select(col("src").as("vid"))
+          .unionByName(e.select(col("dst").as("vid"))).distinct()
+          .agg(count(lit(1)).as("n_vertices")))
+        .select(col("n_vertices"), col("n_edges"), col("total_wgt"))
+    },
     // ---- graph core (SURVEY §2.4 A2/A8, §4 P1) ----
     "q_degrees" -> ((s, d) =>
       GraphOps.degrees(EventsGraph.edges(s, d))),
@@ -147,6 +188,27 @@ object SparkEntry {
       val v = GraphOps.edgeVertices(e).withColumn("vwgt", lit(1L))
       graft.partitioner.Matching.matchLeaves(e, v, Long.MaxValue)
     },
+    // M3 FC clustering on the strong-tie subgraph. Invariant gate (the
+    // q_vsep pattern): totality (every vertex labeled once), the HARD
+    // weight cap (unit weights -> cluster size <= cap), and every label a
+    // root (clusters never merge/chain) — each SQL-predictable as an
+    // exact value (n, n, 0, 0)
+    "q_clustering" -> { (s, d) =>
+      val e = EventsGraph.edges(s, d).filter(col("wgt") >= StrongTie)
+      val v = GraphOps.edgeVertices(e).withColumn("vwgt", lit(1L))
+      val cap = 4L
+      val cm = graft.plans.Plans.checkpoint(
+        graft.partitioner.Clustering.cmap(e, v, cap))
+      val nV = v.count()
+      val nMapped = cm.count()
+      val over = cm.groupBy(col("coarse")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).count()
+      val nonRoot = cm.select(col("coarse")).distinct()
+        .join(cm.filter(col("vid") === col("coarse")).select(col("coarse")),
+          Seq("coarse"), "left_anti").count()
+      s.createDataFrame(Seq((nV, nMapped, over, nonRoot)))
+        .toDF("n_vertices", "n_mapped", "overweight", "nonroot_labels")
+    },
     // W1 counting-sort visit order (capped degree asc, multiplicative-hash
     // shuffled ties)
     "q_visit_order" -> ((s, d) =>
@@ -228,10 +290,13 @@ object SparkEntry {
       val listPath = listDir.resolve(
         s"train_list_${new java.io.File(d).getName}.txt")
       // deterministic membership (~1/3 of vertices train) — the file IS the
-      // reference's -l input; single-node interchange format by design
+      // reference's -l input; single-node interchange format by design.
+      // BOUNDED collect (first 100k by vid): the text list is single-node
+      // interchange, and the gate path must stay runnable at |V| = 10^9 —
+      // at gate scale the limit is never reached, so values are unchanged
       val trainVids = v0.select(col("vid"))
         .filter(pmod(col("vid") * lit(2654435761L), lit(97L)) < 32)
-        .orderBy(col("vid")).collect().map(_.getLong(0))
+        .orderBy(col("vid")).limit(100000).collect().map(_.getLong(0))
       java.nio.file.Files.write(listPath,
         trainVids.mkString("", "\n", "\n").getBytes)
       val v = graft.sources.GraphFiles
@@ -404,6 +469,17 @@ object SparkEntry {
         |SELECT n AS n_keys, n AS n_distinct, CAST(0 AS BIGINT) AS min_vid,
         |       n - 1 AS max_vid FROM n""".stripMargin,
     "q_edges" -> s"WITH e AS ($EC) SELECT src, dst, wgt FROM e ORDER BY src, dst",
+    "q_metis_io" ->
+      """WITH i AS (SELECT range AS i FROM range(20))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+        |       CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |       CAST(SUM(i % 5 + 1) AS BIGINT) AS total_vwgt,
+        |       CAST(SUM(i % 3 + 1) AS BIGINT) AS total_wgt FROM i""".stripMargin,
+    "q_snap_read" ->
+      """WITH i AS (SELECT range AS i FROM range(20))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+        |       CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |       CAST(COUNT(*) AS BIGINT) AS total_wgt FROM i""".stripMargin,
     "q_hub_stats" ->
       s"""WITH ct0 AS (SELECT DISTINCT event_type AS tool, user_id FROM events)
          |SELECT tool, CAST(n_convs AS BIGINT) AS n_convs,
@@ -490,6 +566,15 @@ object SparkEntry {
          |        max(leaf) AS v, count(*) AS n
          |      FROM l GROUP BY parent, (r - 1) // 2)
          |SELECT u, v FROM p WHERE n = 2 ORDER BY u""".stripMargin,
+    "q_clustering" ->
+      s"""WITH e_canon AS ($EC),
+         |f AS (SELECT * FROM e_canon WHERE wgt >= $StrongTie),
+         |v AS (SELECT DISTINCT vid FROM
+         |  (SELECT src AS vid FROM f UNION ALL SELECT dst AS vid FROM f)),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+         |SELECT n AS n_vertices, n AS n_mapped,
+         |  CAST(0 AS BIGINT) AS overweight,
+         |  CAST(0 AS BIGINT) AS nonroot_labels FROM n""".stripMargin,
     "q_visit_order" ->
       s"""WITH e_canon AS ($EC),
          |s AS (SELECT src, dst FROM e_canon UNION ALL SELECT dst, src FROM e_canon),

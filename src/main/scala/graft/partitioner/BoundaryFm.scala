@@ -98,7 +98,14 @@ object BoundaryFm {
                       maxBoundary: Long = 200000L): DataFrame = {
     val (bv, be) = extractBoundary(edges, vertices, assign)
     val nBnd = bv.count() - 2
-    if (nBnd <= 0 || nBnd > maxBoundary) return assign
+    if (nBnd > maxBoundary) {
+      // never silent (repo rule): count + log the skipped refinement
+      graft.plans.Metrics.event("boundary_fm_skipped",
+        s"boundary $nBnd > maxBoundary $maxBoundary — " +
+          "returning input unrefined")
+      return assign
+    }
+    if (nBnd <= 0) return assign // no boundary: nothing to refine
     val vArr = bv.select(col("vid"), col("vwgt"), col("part")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt))
       .sortBy(_._1)

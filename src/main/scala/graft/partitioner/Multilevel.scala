@@ -124,8 +124,25 @@ object Multilevel {
         // still stalled after RM -> 2-hop augmentation (leaf/twin pairs,
         // the star/hub shape neither edge-matching scheme can coarsen)
         val best = math.max(paired, rmPaired)
-        if (nvtxs - 2 * best >= nvtxs / 3)
+        if (nvtxs - 2 * best >= nvtxs / 3) {
           cmap = Matching.augment2Hop(edges, vertices, cmap, caps(0))
+          // M3 fall-through (mirror of the reference's scheme selection,
+          // src/aggregate.c:2018-2135): if even leaf/twin pairing leaves
+          // >= 1/3 of the level self-matched — e.g. hub-and-spoke shapes
+          // whose spokes are neither leaves nor twins — many-to-one FC
+          // clustering coarsens what 1-to-1 matching cannot
+          val selfAfter = cmap.groupBy(col("coarse"))
+            .agg(count(lit(1)).as("n")).filter(col("n") === 1).count()
+          if (selfAfter >= nvtxs / 3) {
+            graft.plans.Metrics.event("m3_clustering_dispatch",
+              s"level ${levels.size}: $selfAfter/$nvtxs self-matched after " +
+                "SHEM+RM+2hop — falling through to FC clustering")
+            cmap = Clustering.cmap(edges,
+              vertices.select(col("vid"),
+                element_at(col("vwgts"), 1).as("vwgt")),
+              caps(0), seed = levelSeed)
+          }
+        }
       }
       levelSeed += 1
       val (ce, cv) = Contraction.contractMC(edges, vertices, cmap, ncon)

@@ -44,7 +44,15 @@ object SeparatorRefine {
       .select(col("src"), col("dst"))
     val gatherIds = sepV.unionByName(sepAdj.select(col("dst").as("vid")))
       .distinct()
-    if (gatherIds.count() > maxGather) return w
+    val nGather = gatherIds.count()
+    if (nGather > maxGather) {
+      // never silent (repo rule): a skipped refinement is a quality loss
+      // the caller must be able to see and count
+      graft.plans.Metrics.event("vsep_refine_skipped",
+        s"separator+frontier $nGather > maxGather $maxGather — " +
+          "returning input unrefined")
+      return w
+    }
     // global side weights (balance is whole-graph, not gathered-set)
     val sideWRows = w.join(vwgt, "vid").groupBy(col("side"))
       .agg(sum(col("vwgt")).as("sw")).collect()

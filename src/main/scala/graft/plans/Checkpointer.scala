@@ -9,22 +9,44 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * "checkpointed per-iteration ... with per-partition lineage and
   * row-count/residual metrics for resumability").
   *
-  * Storage is a directory of parquet snapshots (`<root>/<step>/iter=<k>`)
-  * plus an append-only `metrics.jsonl` ledger. On a cluster the same layout
-  * maps 1:1 onto an Iceberg table (`writeTo(...).append()` with
-  * `iter` as a partition column); this sandbox has no Iceberg runtime jar, so
-  * plain parquet stands in — the contract (atomic snapshot per iteration,
-  * readable back for resume, metrics row per write) is identical.
+  * Storage has two backends behind one contract (atomic snapshot per
+  * iteration, readable back for resume, metrics row per write):
+  *   - parquet directories (`<root>/<step>/iter=<k>`, `_SUCCESS` as the
+  *     commit marker) — the default, and the sandbox path (no Iceberg
+  *     runtime jar here);
+  *   - an Iceberg V2-catalog table per step via `writeTo(...).append()`
+  *     (`_iter` partition column; Iceberg's atomic commit replaces the
+  *     `_SUCCESS` marker), selected by passing `icebergTable` AND having
+  *     `spark.sql.catalog.<catalog>` configured — the cluster path the
+  *     north rule names. Both share the `metrics.jsonl` ledger.
   *
   * The reference's analogue is the out-of-core level dump/restore
   * (reference src/asyncio.c:5-139 and graph dump src/graph.c:3774-3860):
   * spill a whole level, reload it later. Here every iteration is durable and
   * the lineage (which partition produced how many rows) rides along.
   */
-final class Checkpointer(spark: SparkSession, root: String) {
+final class Checkpointer(spark: SparkSession, root: String,
+                         icebergTable: Option[String] = None) {
 
   Files.createDirectories(Paths.get(root))
   private val ledger = Paths.get(root, "metrics.jsonl")
+
+  /** Cluster path: when `icebergTable` names `<catalog>.<db>.<prefix>` AND
+    * that catalog is actually configured on this session
+    * (`spark.sql.catalog.<catalog>` set — e.g. to Iceberg's
+    * `SparkCatalog`), snapshots go through the V2 `writeTo(...).append()`
+    * API into one table per step (`<prefix>_<step>`, `_iter` column as the
+    * snapshot key; Iceberg commits are atomic, so a visible `_iter` is by
+    * definition complete). Otherwise — including this sandbox, which has
+    * no Iceberg runtime jar — the parquet directory layout below stands
+    * in with the identical contract.
+    */
+  private[graft] val useIceberg: Boolean = icebergTable.exists { t =>
+    val cat = t.split('.').head
+    spark.conf.getOption(s"spark.sql.catalog.$cat").isDefined
+  }
+
+  private def tableFor(step: String) = s"${icebergTable.get}_$step"
 
   private def dir(step: String, iter: Int) = s"$root/$step/iter=$iter"
   private def done(step: String, iter: Int): Boolean =
@@ -52,28 +74,44 @@ final class Checkpointer(spark: SparkSession, root: String) {
     */
   def write(step: String, iter: Int, df: DataFrame,
             residual: Double = Double.NaN): DataFrame = {
-    df.write.mode("overwrite").parquet(dir(step, iter))
-    val back = spark.read.parquet(dir(step, iter))
+    val back =
+      if (useIceberg) {
+        val t = tableFor(step)
+        val tagged = df.withColumn("_iter", lit(iter))
+        if (spark.catalog.tableExists(t)) tagged.writeTo(t).append()
+        else tagged.writeTo(t).partitionedBy(col("_iter")).create()
+        spark.table(t).filter(col("_iter") === iter).drop("_iter")
+      } else {
+        df.write.mode("overwrite").parquet(dir(step, iter))
+        spark.read.parquet(dir(step, iter))
+      }
     logMetrics(step, iter, back.count(), residual, partitionCounts(back))
     back
   }
 
   /** Resume point: latest completed iteration for `step`, if any. */
-  def latest(step: String): Option[Int] = {
-    val p = Paths.get(root, step)
-    if (!Files.exists(p)) None
-    else {
-      val iters = Files.list(p).toArray.map(_.toString)
-        .flatMap { d =>
-          val n = d.substring(d.lastIndexOf("iter=") + 5)
-          if (Files.exists(Paths.get(d, "_SUCCESS"))) Some(n.toInt) else None
-        }
-      if (iters.isEmpty) None else Some(iters.max)
+  def latest(step: String): Option[Int] =
+    if (useIceberg) {
+      if (!spark.catalog.tableExists(tableFor(step))) None
+      else Option(spark.table(tableFor(step)).agg(max(col("_iter")))
+        .head().get(0)).map(_.toString.toInt)
+    } else {
+      val p = Paths.get(root, step)
+      if (!Files.exists(p)) None
+      else {
+        val iters = Files.list(p).toArray.map(_.toString)
+          .flatMap { d =>
+            val n = d.substring(d.lastIndexOf("iter=") + 5)
+            if (Files.exists(Paths.get(d, "_SUCCESS"))) Some(n.toInt) else None
+          }
+        if (iters.isEmpty) None else Some(iters.max)
+      }
     }
-  }
 
   def read(step: String, iter: Int): DataFrame =
-    spark.read.parquet(dir(step, iter))
+    if (useIceberg)
+      spark.table(tableFor(step)).filter(col("_iter") === iter).drop("_iter")
+    else spark.read.parquet(dir(step, iter))
 
   /** Run an iterative fixed point with durable per-iteration checkpoints.
     * If iterations [0..k] already exist under `step`, computation resumes

@@ -85,4 +85,26 @@ class CheckpointerSpec extends SparkSpec {
       hashMinBody(GraphOps.symmetrize(edgesDf(Fixtures.path8))))
     assert(out.filter(col("component") =!= 0L).count() == 0)
   }
+
+  test("Iceberg backend selection: catalog-configured gates writeTo path") {
+    // no table requested -> parquet
+    assert(!new Checkpointer(spark, tmp()).useIceberg)
+    // table requested but its catalog is NOT configured on this session
+    // (this sandbox has no Iceberg jar) -> fall back to parquet, and the
+    // full parquet contract keeps working
+    val c = new Checkpointer(spark, tmp(),
+      icebergTable = Some("nosuchcat.db.ckpt"))
+    assert(!c.useIceberg)
+    c.write("hm", 0, labels0)
+    assert(c.latest("hm").contains(0))
+    assert(c.read("hm", 0).count() == 8)
+    // catalog configured -> the writeTo path is selected (the actual
+    // Iceberg round-trip needs the runtime jar; cluster-only)
+    spark.conf.set("spark.sql.catalog.fakecat",
+      "org.apache.iceberg.spark.SparkCatalog")
+    try
+      assert(new Checkpointer(spark, tmp(),
+        icebergTable = Some("fakecat.db.ckpt")).useIceberg)
+    finally spark.conf.unset("spark.sql.catalog.fakecat")
+  }
 }

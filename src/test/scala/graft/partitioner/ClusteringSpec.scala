@@ -151,6 +151,34 @@ class ClusteringSpec extends SparkSpec {
     assert(self1 <= 2, s"2-hop left $self1 unmatched on a star")
   }
 
+  test("FC-only coarsening converges on a star without 2-hop (M3 in M5)") {
+    // the dispatch's last resort: a star must coarsen to near-a-point
+    // through clustering ALONE — no SHEM pairs (leaves share no edge),
+    // no 2-hop augmentation consulted
+    var e = edgesDf(Fixtures.star17)
+    var v = spark.createDataFrame(
+      Fixtures.vertsOf(Fixtures.star17).map(vv => (vv, Array(1L))))
+      .toDF("vid", "vwgts")
+    var n = 17L
+    var rounds = 0
+    while (n > 2 && rounds < 5) {
+      val cm = Clustering.cmap(e,
+        v.select(col("vid"), element_at(col("vwgts"), 1).as("vwgt")),
+        maxVwgt = 100L)
+      val (ce, cv) = Contraction.contractMC(e, v, cm, 1)
+      e = graft.plans.Plans.checkpoint(ce)
+      v = graft.plans.Plans.checkpoint(cv)
+      val n2 = v.count()
+      assert(n2 < n, s"clustering failed to shrink the star at n=$n")
+      n = n2
+      rounds += 1
+    }
+    assert(n <= 2, s"star did not converge under FC-only coarsening: n=$n")
+    // weight conserved end-to-end
+    val tw = v.select(element_at(col("vwgts"), 1)).collect().map(_.getLong(0)).sum
+    assert(tw == 17L)
+  }
+
   test("augment2Hop leaves matched-pair roots alone (hub vid > leaf vid)") {
     // Inverted star: hub is vid 16, leaves 0..15. cmapMC emits (u,u),(v,u)
     // for pair u<v, so the hub's matched LEAF partner satisfies
