@@ -34,6 +34,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // scaling's extra-fork hunt must never push the whole bench past the
+    // driver's 3600 s timeout: leave ~350 s of margin for JVM/sbt overhead
+    sys.props("graft.scale.deadline.ms") =
+      (System.currentTimeMillis() + 3250L * 1000).toString
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

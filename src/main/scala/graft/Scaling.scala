@@ -343,7 +343,8 @@ object Scaling {
     * parse the single-run JSON line. Each parallelism level gets its own
     * heap/JIT — the in-JVM pair() contaminated the second run by up to 4x.
     */
-  private def fork(env: Map[String, String]): String = {
+  private def fork(env: Map[String, String],
+                   gcArgs: Option[Seq[String]] = None): String = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
@@ -368,7 +369,8 @@ object Scaling {
       // measured trial paid page-commit faults for ~2 GB of message/acc
       // arrays (trial 1 ran 2-4x slow in EVERY fork despite a full-length
       // JIT warmup); pre-touching moves that cost into (untimed) JVM start
-      Seq(s"-Xmx$heap", "-XX:+UseZGC", "-XX:+AlwaysPreTouch") ++
+      (Seq(s"-Xmx$heap") ++
+        gcArgs.getOrElse(Seq("-XX:+UseZGC", "-XX:+AlwaysPreTouch"))) ++
       Seq("-cp", sys.props("java.class.path"), "graft.Scaling")
     val pb = new ProcessBuilder(cmd: _*)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
@@ -465,6 +467,10 @@ object Scaling {
       // every fork is emitted in the JSON so the search is auditable
       val maxExtra = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTRA", "4").toInt
       val target = sys.env.getOrElse("SPARK_GRAFT_SCALE_TARGET", "0.82").toDouble
+      // absolute epoch-millis deadline (set by Bench from the driver's
+      // timeout): never let the extra-fork hunt run the bench past it
+      val deadline = sys.props.get("graft.scale.deadline.ms").map(_.toLong)
+        .getOrElse(Long.MaxValue)
       var loF = Vector.empty[RunResult]
       var hiF = Vector.empty[RunResult]
       def runPair(k: Int): Unit = {
@@ -487,7 +493,8 @@ object Scaling {
         val e = PairResult(loF, hiF, cpusLo, cpusHi).eff
         e < target || e > 1.05
       }
-      while (k < forks + maxExtra && offTarget) {
+      while (k < forks + maxExtra && offTarget &&
+          System.currentTimeMillis() < deadline) {
         k += 1
         System.err.println(f"[scaling] eff=${PairResult(loF, hiF, cpusLo, cpusHi).eff}%.3f " +
           f"off target [$target%.2f, 1.05] — extra fork $k")
@@ -558,6 +565,18 @@ object Scaling {
     // graph the PR kernel scales on). SPARK_GRAFT_SCALE_MODE=partition
     // [+ SPARK_GRAFT_SCALE_EDGES_DIR to reuse a prepped graph].
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("partition")) {
+      // fork a properly-heaped child JVM (the parent is usually sbt with
+      // -Xmx4g — the V-cycle at 130M edges OOMs execution memory there;
+      // same lesson as the scaling legs, NOTES.md round 3)
+      if (!sys.env.get("SPARK_GRAFT_SCALE_INFORK").contains("1")) {
+        // G1, no pretouch: this fork measures whole-V-cycle WALL time (GC
+        // pause latency is immaterial), and ZGC's multi-mapped 40g+ heap
+        // overflows vm.max_map_count on this box (fatal map failure)
+        print(fork(sys.env.filter(_._1.startsWith("SPARK_GRAFT")) +
+          ("SPARK_GRAFT_SCALE_INFORK" -> "1"),
+          gcArgs = Some(Seq("-XX:+UseG1GC"))))
+        return
+      }
       val cpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS",
         Runtime.getRuntime.availableProcessors().toString).toInt
       val k = sys.env.getOrElse("SPARK_GRAFT_PART_K", "8").toInt
