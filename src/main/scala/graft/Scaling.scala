@@ -571,10 +571,15 @@ object Scaling {
       if (!sys.env.get("SPARK_GRAFT_SCALE_INFORK").contains("1")) {
         // G1, no pretouch: this fork measures whole-V-cycle WALL time (GC
         // pause latency is immaterial), and ZGC's multi-mapped 40g+ heap
-        // overflows vm.max_map_count on this box (fatal map failure)
+        // overflows vm.max_map_count on this box (fatal map failure).
+        // GCLockerRetryAllocationCount: Spark's lz4 codec holds JNI
+        // critical sections (GCLocker) while the sorters make humongous
+        // long[] allocations — the JDK17 default of 2 retries crashed a
+        // 48g run with "Retried waiting for GCLocker too often"
         print(fork(sys.env.filter(_._1.startsWith("SPARK_GRAFT")) +
           ("SPARK_GRAFT_SCALE_INFORK" -> "1"),
-          gcArgs = Some(Seq("-XX:+UseG1GC"))))
+          gcArgs = Some(Seq("-XX:+UseG1GC",
+            "-XX:GCLockerRetryAllocationCount=64"))))
         return
       }
       val cpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS",

@@ -109,11 +109,13 @@ object Clustering {
           "target")
         .filter(col("twgt") + col("cum") <= maxVwgt)
         .select(col("vid"), col("target"))
+      val prevCl = cl
       cl = Plans.checkpoint(
         cl.join(admitted, Seq("vid"), "left")
           .select(col("vid"),
             coalesce(col("target"), col("cluster")).as("cluster"),
             col("vwgt")))
+      Plans.unpersist(prevCl) // superseded round — checkpoints never evict
     }
     sym.unpersist()
     cl.select(col("vid"), col("cluster").as("coarse"))

@@ -93,7 +93,12 @@ object Matching {
           col("a.partner") === col("b.u") && col("b.partner") === col("a.u"))
         .filter(col("a.u") < col("a.partner"))
         .select(col("a.u").as("u"), col("a.partner").as("v"))
+      val prevPairs = pairs
       pairs = graft.plans.Plans.checkpoint(pairs.unionByName(mutual))
+      // prevPairs is folded into the new checkpoint — release its blocks
+      // (checkpoints are never evicted on their own; leaking one per round
+      // per level pins O(levels·rounds·|V|) rows for the session)
+      graft.plans.Plans.unpersist(prevPairs)
       val matchedVids = pairs.select(col("u").as("vid"))
         .unionByName(pairs.select(col("v").as("vid")))
       val nextUnmatched = unmatched.join(matchedVids, Seq("vid"), "left_anti")
@@ -105,8 +110,11 @@ object Matching {
     val matchedMap = pairs.select(col("u").as("vid"), col("u").as("coarse"))
       .unionByName(pairs.select(col("v").as("vid"), col("u").as("coarse")))
     val selfMap = unmatched.select(col("vid"), col("vid").as("coarse"))
-    val out = graft.plans.Plans.checkpoint(matchedMap.unionByName(selfMap))
+    // spill-level: the cmap is LEVEL STATE — held until uncoarsening, read
+    // a handful of times; serialized rows keep the level stack small on heap
+    val out = graft.plans.Plans.checkpointSpill(matchedMap.unionByName(selfMap))
     sym.unpersist(); unmatched.unpersist()
+    graft.plans.Plans.unpersist(pairs)
     out
   }
 
@@ -214,7 +222,7 @@ object Matching {
       .select(col("u").as("vid"), col("u").as("c2"))
       .unionByName(leafP.unionByName(twinP)
         .select(col("v").as("vid"), col("u").as("c2")))
-    graft.plans.Plans.checkpoint(
+    graft.plans.Plans.checkpointSpill(
       cmap.join(upd, Seq("vid"), "left")
         .select(col("vid"), coalesce(col("c2"), col("coarse")).as("coarse")))
   }

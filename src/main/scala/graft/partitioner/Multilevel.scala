@@ -78,11 +78,15 @@ object Multilevel {
     val coarsenTo = if (coarsenTo0 > 0) coarsenTo0 else math.max(30 * k, 200)
     // materialize both inputs ONCE (stats-free checkpoint), so the dispatch
     // counts, the island split, and (on the serial path) the collects never
-    // re-derive the upstream plan
+    // re-derive the upstream plan. Spill-level: these live for the whole
+    // V-cycle as the finest level's state — serialized storage keeps the
+    // level stack 3-4x smaller so the active level's sort-merge joins keep
+    // their execution memory (at 130M edges the deserialized stack starves
+    // the unified pool and matching dies with UNABLE_TO_ACQUIRE_MEMORY)
     val allVerts = vertices0.select(col("vid"), col("vwgts"))
-      .ckpt()
+      .ckptSpill()
     val allEdges = edges0.select(col("src"), col("dst"), col("wgt"))
-      .ckpt()
+      .ckptSpill()
     val nAll = allVerts.count()
     if (nAll == 0)
       return PartitionResult(
@@ -99,7 +103,7 @@ object Multilevel {
     val (connected0, islands) = GraphOps.splitIslands(allVerts, allEdges)
     var edges = allEdges
     var vertices = connected0.select(col("vid"), col("vwgts"))
-      .ckpt()
+      .ckptSpill()
     var nvtxs = vertices.count()
     def wc(c: Int) = element_at(col("vwgts"), c + 1)
     val tvCols = (0 until ncon).map(c => sum(wc(c)).as(s"t$c"))
@@ -120,12 +124,17 @@ object Multilevel {
         val rm = Matching.cmapMC(edges, vertices, caps,
           scheme = Matching.RM, seed = levelSeed)
         val rmPaired = rm.filter(col("vid") =!= col("coarse")).count()
-        if (rmPaired > paired) cmap = rm
+        // release the losing cmap — superseded checkpoints never evict
+        if (rmPaired > paired) {
+          graft.plans.Plans.unpersist(cmap); cmap = rm
+        } else graft.plans.Plans.unpersist(rm)
         // still stalled after RM -> 2-hop augmentation (leaf/twin pairs,
         // the star/hub shape neither edge-matching scheme can coarsen)
         val best = math.max(paired, rmPaired)
         if (nvtxs - 2 * best >= nvtxs / 3) {
+          val pre2hop = cmap
           cmap = Matching.augment2Hop(edges, vertices, cmap, caps(0))
+          graft.plans.Plans.unpersist(pre2hop)
           // M3 fall-through (mirror of the reference's scheme selection,
           // src/aggregate.c:2018-2135): if even leaf/twin pairing leaves
           // >= 1/3 of the level self-matched — e.g. hub-and-spoke shapes
@@ -137,24 +146,31 @@ object Multilevel {
             graft.plans.Metrics.event("m3_clustering_dispatch",
               s"level ${levels.size}: $selfAfter/$nvtxs self-matched after " +
                 "SHEM+RM+2hop — falling through to FC clustering")
+            val preFc = cmap
             cmap = Clustering.cmap(edges,
               vertices.select(col("vid"),
                 element_at(col("vwgts"), 1).as("vwgt")),
               caps(0), seed = levelSeed)
+            graft.plans.Plans.unpersist(preFc)
           }
         }
       }
       levelSeed += 1
       val (ce, cv) = Contraction.contractMC(edges, vertices, cmap, ncon)
-      val cEdges = ce.ckpt()
-      val cVerts = cv.ckpt()
+      val cEdges = ce.ckptSpill()
+      val cVerts = cv.ckptSpill()
       val cn = cVerts.count()
       ckpt.foreach(c => c.write(s"mlevel_cmap_l${levels.size}", 0, cmap))
       shrinking = cn.toDouble / nvtxs <= stopRatio
       if (cn < nvtxs) {
         levels = Level(edges, vertices, cmap, nvtxs) :: levels
         edges = cEdges; vertices = cVerts; nvtxs = cn
-      } else shrinking = false
+      } else {
+        shrinking = false
+        graft.plans.Plans.unpersist(cEdges)
+        graft.plans.Plans.unpersist(cVerts)
+        graft.plans.Plans.unpersist(cmap)
+      }
     }
 
     // initial partition on the coarsest graph, driver-side best-of-8.
@@ -191,16 +207,25 @@ object Multilevel {
           .join(assign.withColumnRenamed("vid", "coarse"), "coarse")
           .select(col("vid"), col("part"))
           .ckpt()
+        // the coarser level's assignment is folded into `projected` — dead
+        // now (it is never bestAssign: that is only ever a FINEST-level
+        // assignment from a previous run)
+        graft.plans.Plans.unpersist(assign)
         assign =
           if (lvl.nvtxs <= serialRefineThreshold)
             serialRefine(spark, lvl, projected, k, ncon, ubFactor, tgt)
           else Refinement.refineMC(spark, lvl.edges, lvl.vertices,
             projected, k, ubFactor, ncon = ncon, targets = tgt)
+        // refine returned its own checkpoint; the projection is dead
+        graft.plans.Plans.unpersist(projected)
         ckpt.foreach(c => c.write(s"mlevel_assign_r${run}_l$levelIdx", 0,
           assign, GraphOps.edgeCut(lvl.edges, assign).toDouble))
       }
       val cut = GraphOps.edgeCut(finestEdges, assign)
-      if (cut < bestCut) { bestCut = cut; bestAssign = assign }
+      if (cut < bestCut) {
+        if (bestAssign != null) graft.plans.Plans.unpersist(bestAssign)
+        bestCut = cut; bestAssign = assign
+      } else graft.plans.Plans.unpersist(assign)
     }
 
     // F4 restore: islands fill the parts' remaining weight headroom

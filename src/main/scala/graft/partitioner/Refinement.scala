@@ -108,7 +108,9 @@ object Refinement {
     var best = assign0.select(col("vid"), col("part")).ckpt()
     var bestCut = GraphOps.edgeCut(edges, best)
 
-    // one greedy pass = the reference's two S_right_side phases
+    // one greedy pass = the reference's two S_right_side phases.
+    // Phase-0's checkpoint is folded into phase-1's and released — leaked
+    // per-pass checkpoints pin O(passes·levels·|V|) rows otherwise.
     def onePass(a0: DataFrame): DataFrame = {
       var cur = a0
       for (phase <- 0 to 1) {
@@ -191,6 +193,7 @@ object Refinement {
         val next = graft.plans.Plans.checkpoint(
           a.join(admitted, Seq("vid"), "left")
             .select(col("vid"), coalesce(col("to"), col("part")).as("part")))
+        if (a ne a0) graft.plans.Plans.unpersist(a) // phase-0 intermediate
         cur = next
       }
       cur
@@ -304,34 +307,49 @@ object Refinement {
       }.reduce(_ && _)
       val admitted = units.withColumn("ok", okCond).filter(col("ok"))
         .select(col("u"), col("v"), col("to")).ckpt()
-      if (admitted.isEmpty) return None
+      if (admitted.isEmpty) {
+        graft.plans.Plans.unpersist(admitted)
+        return None
+      }
       val moved = admitted.select(col("u").as("vid"), col("to"))
         .unionByName(admitted.select(col("v").as("vid"), col("to")))
-      Some(graft.plans.Plans.checkpoint(
+      val out = graft.plans.Plans.checkpoint(
         a.join(moved, Seq("vid"), "left")
-          .select(col("vid"), coalesce(col("to"), col("part")).as("part"))))
+          .select(col("vid"), coalesce(col("to"), col("part")).as("part")))
+      graft.plans.Plans.unpersist(admitted)
+      Some(out)
     }
 
     var cur = best
     var pass = 0
     var improved = true
     while (pass < passes && improved) {
-      cur = onePass(cur)
+      val in = cur
+      cur = onePass(in)
+      if (in ne best) graft.plans.Plans.unpersist(in)
       val (cut, imb) = cutAndImbalance(cur)
       improved = cut < bestCut && imb <= ubFactor + 1e-9
-      if (improved) { bestCut = cut; best = cur }
+      if (improved) {
+        val oldBest = best
+        bestCut = cut; best = cur
+        if (oldBest ne cur) graft.plans.Plans.unpersist(oldBest)
+      }
       pass += 1
     }
+    if (cur ne best) graft.plans.Plans.unpersist(cur)
     // hill rounds once greedy stalls (the reference runs HS when the greedy
     // pass stops improving): one round per direction — move jointly-
     // profitable pairs, then one greedy clean-up pass around the moved hills
     for (hsPhase <- 0 to 1) {
       hillPairs(best, hsPhase).foreach { afterHills =>
         val next = onePass(afterHills)
+        graft.plans.Plans.unpersist(afterHills)
         val (cut, imb) = cutAndImbalance(next)
         if (cut < bestCut && imb <= ubFactor + 1e-9) {
+          val oldBest = best
           bestCut = cut; best = next
-        }
+          graft.plans.Plans.unpersist(oldBest)
+        } else graft.plans.Plans.unpersist(next)
       }
     }
     sym.unpersist(); vw.unpersist()

@@ -29,8 +29,27 @@ object Plans {
   def checkpoint(df: DataFrame): DataFrame =
     GraftSqlInternals.statlessLocalCheckpoint(df)
 
+  /** Checkpoint for LONG-LIVED, rarely-re-read snapshots (V-cycle level
+    * state held until uncoarsening): serialized storage is 3-4x smaller on
+    * heap, so a deep level stack leaves execution memory for the active
+    * level's joins. Hot intermediates should use [[checkpoint]].
+    */
+  def checkpointSpill(df: DataFrame): DataFrame =
+    GraftSqlInternals.statlessLocalCheckpoint(df,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** Release the storage behind a checkpoint that is provably dead (its
+    * successor has already materialized). Checkpoint blocks are the only
+    * copy of their rows, so Spark never evicts them — an iterative
+    * checkpoint-per-round algorithm pins every superseded round for the
+    * session lifetime without this. The frame must not be read afterwards.
+    */
+  def unpersist(df: DataFrame): Unit =
+    GraftSqlInternals.unpersistCheckpoint(df)
+
   /** Chaining sugar: `df.select(...).ckpt()`. */
   implicit final class CheckpointOps(private val df: DataFrame) extends AnyVal {
     def ckpt(): DataFrame = checkpoint(df)
+    def ckptSpill(): DataFrame = checkpointSpill(df)
   }
 }
