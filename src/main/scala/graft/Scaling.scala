@@ -81,8 +81,13 @@ object Scaling {
       // per-iteration contribution shuffle serializes behind it at EVERY
       // parallelism level — a sandbox artifact (a real cluster's shuffle
       // bandwidth scales with executor count: each executor writes its own
-      // local disks). RAM-backed shuffle restores that scaling property
-      .config("spark.local.dir", "/dev/shm/graft-scaling")
+      // local disks). RAM-backed shuffle restores that scaling property.
+      // Overridable: the whole-V-cycle partition bench accumulates tens of
+      // GB of live shuffle+checkpoint state, and tmpfs pages count against
+      // the same 128 GB the heap lives in — that run points here at disk
+      // (a real cluster's executors likewise spill to local disk)
+      .config("spark.local.dir", sys.env.getOrElse(
+        "SPARK_GRAFT_SCALE_LOCAL_DIR", "/dev/shm/graft-scaling"))
       // keep shuffle COMPRESSION ON even on tmpfs — measured A/B at 130M
       // edges: uncompressed was faster at 8 threads (spare DRAM bandwidth,
       // saved lz4 CPU) but 1.8x SLOWER at 32 (the extra bytes hit the
@@ -578,7 +583,7 @@ object Scaling {
         // 48g run with "Retried waiting for GCLocker too often"
         print(fork(sys.env.filter(_._1.startsWith("SPARK_GRAFT")) +
           ("SPARK_GRAFT_SCALE_INFORK" -> "1"),
-          gcArgs = Some(Seq("-XX:+UseG1GC",
+          gcArgs = Some(Seq("-XX:+UseG1GC", "-XX:+UnlockDiagnosticVMOptions",
             "-XX:GCLockerRetryAllocationCount=64"))))
         return
       }

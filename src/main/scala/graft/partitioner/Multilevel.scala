@@ -116,7 +116,11 @@ object Multilevel {
     var levels = List.empty[Level] // finest first
     var shrinking = true
     var levelSeed = seed
+    val tStart = System.nanoTime()
+    def elapsed: String = f"${(System.nanoTime() - tStart) / 1e9}%.0fs"
     while (nvtxs > coarsenTo && shrinking) {
+      System.err.println(
+        s"[mlevel] coarsen level ${levels.size}: nvtxs=$nvtxs t=$elapsed")
       var cmap = Matching.cmapMC(edges, vertices, caps)
       // P4: SHEM ineffective (self-matched ratio >= 1/3) -> rerun with RM
       val paired = cmap.filter(col("vid") =!= col("coarse")).count()
@@ -202,6 +206,8 @@ object Multilevel {
       var levelIdx = levels.size
       for (lvl <- levels) {
         levelIdx -= 1
+        System.err.println(s"[mlevel] uncoarsen run=$run level=$levelIdx: " +
+          s"nvtxs=${lvl.nvtxs} t=$elapsed")
         // J4 projection join: fine inherits coarse part through cmap
         val projected = lvl.cmap
           .join(assign.withColumnRenamed("vid", "coarse"), "coarse")

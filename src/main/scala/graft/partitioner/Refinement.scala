@@ -35,10 +35,11 @@ import graft.operators.GraphOps
   *   7. keep the best assignment seen (mincut tracking, kwayrefine.c:1186).
   *
   * When the greedy passes stall, distributed hill-scanning rounds (R2,
-  * reference S_par_kwayrefine_HS src/kwayrefine.c:1217-1550) move pairs of
-  * adjacent individually-stuck vertices whose COMBINED gain is positive —
-  * see `hillPairs` below; larger hills are handled by the serial
-  * [[BoundaryFm.hillScan]] on gathered boundaries.
+  * reference S_par_kwayrefine_HS src/kwayrefine.c:1217-1550) move connected
+  * sets of up to 16 adjacent individually-stuck vertices whose COMBINED
+  * gain is positive — see `hillMoves` below; serial
+  * [[BoundaryFm.hillScan]] covers gathered boundaries on the small-level
+  * dispatch path.
   *
   * Vertex weights are multi-constraint: `vertices(vid, vwgts array<bigint>)`
   * with `ncon` entries each (reference vwgt layout src/graph.h:44,55);
@@ -199,24 +200,29 @@ object Refinement {
       cur
     }
 
-    // R2 hill-scanning, BSP restriction to hills of size 2 (reference
-    // S_par_kwayrefine_HS src/kwayrefine.c:1217-1550, hill gain identity
-    // S_build_hill :599-772): adjacent same-part vertices u,v that are each
-    // individually stuck (best single-move gain <= 0) may still move
-    // TOGETHER with positive combined gain
-    //   jgain(u,v -> p) = [conn_u(p) - id_u] + [conn_v(p) - id_v] + 2*w(u,v)
-    // (the shared edge stays internal when both move, so its double loss is
-    // refunded). Pairs handshake like matching (J2) so each vertex joins at
-    // most one hill per round; admitted under the same dual balance windows
-    // with element-wise summed pair weights. Larger hills are covered by
-    // the serial pass (BoundaryFm.hillScan) on gathered boundaries; size-2
-    // is the dominant hill shape and the only one expressible as a single
-    // self-join at scale. `phase` applies the same S_right_side parity rule
-    // as the greedy phases (kwayrefine.c:142-167): hills move only to
-    // higher (phase 0) / lower (phase 1) part ids per round, so two hills
-    // on opposite sides of the same boundary cannot swap past each other
-    // in one BSP step. Returns None when no pair is admitted.
-    def hillPairs(a: DataFrame, phase: Int): Option[DataFrame] = {
+    // R2 hill-scanning, generalized to hills of up to `maxHill` vertices
+    // (reference S_par_kwayrefine_HS src/kwayrefine.c:1217-1550 grows hills
+    // to 16; hill gain identity S_build_hill :599-772): a connected
+    // same-part set H of individually-stuck vertices (best single-move
+    // gain <= 0 each) may still move TOGETHER with positive combined gain
+    //   jgain(H -> p) = Σ_{v∈H} conn_v(p) − (Σ_{v∈H} id_v − 2·Σ_{e⊆H} w_e)
+    // (edges inside H stay internal when the whole hill moves, so their
+    // doubly-counted loss is refunded). Hills grow by `rounds` of J2-style
+    // handshake merges on the CONTRACTED cluster graph — each round pairs
+    // adjacent same-part clusters along their heaviest connecting edge
+    // (maximizing the refund, the reference's BFS-growth analogue), so
+    // round r reaches size 2^r ≤ maxHill. A cluster whose best jgain turns
+    // positive is FROZEN — it stops growing and is queued for the move
+    // phase, exactly the reference's stop-growing-when-profitable rule
+    // (kwayrefine.c:652-700). Frozen hills are admitted under the same
+    // dual balance windows as the greedy phases, with element-wise summed
+    // hill weights. `phase` applies the S_right_side parity rule
+    // (kwayrefine.c:142-167): hills move only to higher (phase 0) / lower
+    // (phase 1) part ids per call, so two hills on opposite sides of the
+    // same boundary cannot swap past each other in one BSP step. Returns
+    // None when no hill is admitted.
+    def hillMoves(a: DataFrame, phase: Int, rounds: Int = 4,
+                  maxHill: Int = 16): Option[DataFrame] = {
       val nbr = sym
         .join(a.select(col("vid").as("dst"), col("part").as("dpart")), "dst")
         .groupBy(col("src").as("vid"), col("dpart"))
@@ -230,61 +236,128 @@ object Refinement {
             lit(0L)).as("idw"),
           max(when(col("dpart") =!= col("part"), col("conn"))).as("maxconn"))
         .filter(col("maxconn").isNotNull && col("maxconn") <= col("idw"))
+        .select(col("vid"), col("part").as("from"), col("idw")).ckpt()
+      // the stuck subgraph (same-part edges between stuck vertices) — the
+      // only edges hills can grow along; fixed across rounds
+      val se = sym.filter(col("src") < col("dst"))
+        .join(stuck.select(col("vid").as("src"), col("from")), "src")
+        .join(stuck.select(col("vid").as("dst"), col("from").as("fd")), "dst")
+        .filter(col("from") === col("fd"))
+        .select(col("src"), col("dst"), col("wgt")).ckpt()
+      // stuck vertices' connectivity into foreign parts (hill gain inputs;
+      // fixed across rounds — nothing moves until the final admit)
       val extConn = home.filter(col("dpart") =!= col("part"))
-        .select(col("vid"), col("dpart").as("to"), col("conn"))
-      // same-part adjacent stuck pairs (u < v), one row per pair
-      val pe = sym.filter(col("src") < col("dst"))
-        .join(stuck.select(col("vid").as("src"), col("part").as("from"),
-          col("idw").as("idu")), "src")
-        .join(stuck.select(col("vid").as("dst"), col("part").as("dp"),
-          col("idw").as("idv")), "dst")
-        .filter(col("from") === col("dp"))
-        .select(col("src").as("u"), col("dst").as("v"), col("from"),
-          col("wgt").as("wuv"), col("idu"), col("idv"))
-      // candidate targets: any part either endpoint touches
-      val tgts = pe.select(col("u"), col("v"))
-        .join(extConn.withColumnRenamed("vid", "u"), "u")
-        .select(col("u"), col("v"), col("to"))
-        .unionByName(pe.select(col("u"), col("v"))
-          .join(extConn.withColumnRenamed("vid", "v"), "v")
-          .select(col("u"), col("v"), col("to")))
-        .distinct()
+        .join(stuck.select(col("vid")), "vid")
+        .select(col("vid"), col("dpart").as("to"), col("conn")).ckpt()
       val hillDir =
         if (phase == 0) col("to") > col("from") else col("to") < col("from")
-      val withGain = pe.join(tgts, Seq("u", "v"))
-        .filter(hillDir)
-        .join(extConn.select(col("vid").as("u"), col("to"),
-          col("conn").as("cu")), Seq("u", "to"), "left")
-        .join(extConn.select(col("vid").as("v"), col("to"),
-          col("conn").as("cv")), Seq("v", "to"), "left")
-        .withColumn("jgain",
-          coalesce(col("cu"), lit(0L)) + coalesce(col("cv"), lit(0L)) -
-            col("idu") - col("idv") + lit(2L) * col("wuv"))
-        .filter(col("jgain") > 0)
-      // best target per pair, then J2 handshake so hills are disjoint
-      val bestPer = withGain.groupBy(col("u"), col("v"), col("from"))
-        .agg(max(struct(col("jgain"), (-col("to")).as("nt"))).as("b"))
-        .select(col("u"), col("v"), col("from"), (-col("b.nt")).as("to"),
-          col("b.jgain").as("gain"))
-      val props = bestPer.select(col("u").as("vid"), col("v").as("partner"),
-          col("gain"))
-        .unionByName(bestPer.select(col("v").as("vid"), col("u").as("partner"),
-          col("gain")))
-        .groupBy(col("vid"))
-        .agg(max(struct(col("gain"), (-col("partner")).as("np"))).as("b"))
-        .select(col("vid"), (-col("b.np")).as("partner"))
-      val mutual = bestPer
-        .join(props.select(col("vid").as("u"), col("partner").as("pu")), "u")
-        .join(props.select(col("vid").as("v"), col("partner").as("pv")), "v")
-        .filter(col("pu") === col("v") && col("pv") === col("u"))
-        .select(col("u"), col("v"), col("from"), col("to"), col("gain"))
-      // pair weight = element-wise sum of both members' constraint vectors
-      val units = mutual
-        .join(vw.select(col("vid").as("u"), col("vwgts").as("wu")), "u")
-        .join(vw.select(col("vid").as("v"), col("vwgts").as("wv")), "v")
-        .withColumn("vwgts", zip_with(col("wu"), col("wv"), _ + _))
-        .select(col("u"), col("v"), col("from"), col("to"), col("gain"),
-          col("vwgts"))
+
+      var memb = stuck.select(col("vid"), col("vid").as("cid")).ckpt()
+      var frozenIds: DataFrame = null // cids already queued for the move
+      var cands = List.empty[DataFrame] // (cid, from, to, gain) per round
+      var r = 0
+      var progressed = true
+      while (r < rounds && progressed) {
+        r += 1
+        // contracted cluster graph over growable (non-frozen) clusters,
+        // capped so merged hills stay ≤ maxHill members
+        val sizes = memb.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+        var ce = se
+          .join(memb.select(col("vid").as("src"), col("cid").as("ua")), "src")
+          .join(memb.select(col("vid").as("dst"), col("cid").as("va")), "dst")
+          .filter(col("ua") =!= col("va"))
+          .select(least(col("ua"), col("va")).as("ua"),
+            greatest(col("ua"), col("va")).as("va"), col("wgt"))
+          .groupBy(col("ua"), col("va")).agg(sum(col("wgt")).as("w"))
+        if (frozenIds != null) {
+          ce = ce
+            .join(frozenIds.select(col("cid").as("ua")), Seq("ua"), "left_anti")
+            .join(frozenIds.select(col("cid").as("va")), Seq("va"), "left_anti")
+        }
+        ce = ce
+          .join(sizes.select(col("cid").as("ua"), col("n").as("na")), "ua")
+          .join(sizes.select(col("cid").as("va"), col("n").as("nb")), "va")
+          .filter(col("na") + col("nb") <= maxHill)
+          .select(col("ua"), col("va"), col("w"))
+        // handshake: every cluster proposes its heaviest connecting edge;
+        // mutual proposals merge (larger cid folds into smaller)
+        val props = ce.select(col("ua").as("cid"), col("va").as("p"), col("w"))
+          .unionByName(
+            ce.select(col("va").as("cid"), col("ua").as("p"), col("w")))
+          .groupBy(col("cid"))
+          .agg(max(struct(col("w"), (-col("p")).as("np"))).as("b"))
+          .select(col("cid"), (-col("b.np")).as("p"))
+        // checkpoint + count BEFORE the old memb is released: merges'
+        // lineage runs through it, and a released local checkpoint cannot
+        // be recomputed
+        val merges = props.as("x")
+          .join(props.as("y"),
+            col("x.p") === col("y.cid") && col("y.p") === col("x.cid"))
+          .filter(col("x.cid") < col("x.p"))
+          .select(col("x.p").as("oldCid"), col("x.cid").as("newCid"))
+          .ckpt()
+        val nMerged = merges.count()
+        val membNext = memb
+          .join(merges.withColumnRenamed("oldCid", "cid"), Seq("cid"), "left")
+          .select(col("vid"), coalesce(col("newCid"), col("cid")).as("cid"))
+          .ckpt()
+        graft.plans.Plans.unpersist(merges)
+        graft.plans.Plans.unpersist(memb)
+        memb = membNext
+        // evaluate every growable cluster's best jgain on the merged
+        // clustering; positive ones freeze
+        val withFrom = memb.join(stuck, "vid")
+        var idSum = withFrom.groupBy(col("cid"), col("from"))
+          .agg(sum(col("idw")).as("idSum"))
+        if (frozenIds != null)
+          idSum = idSum.join(frozenIds, Seq("cid"), "left_anti")
+        val refund = se
+          .join(memb.select(col("vid").as("src"), col("cid").as("ua")), "src")
+          .join(memb.select(col("vid").as("dst"), col("cid").as("va")), "dst")
+          .filter(col("ua") === col("va"))
+          .groupBy(col("ua").as("cid")).agg(sum(col("wgt")).as("iw"))
+          .select(col("cid"), (lit(2L) * col("iw")).as("refund"))
+        val conn = extConn.join(memb, "vid")
+          .groupBy(col("cid"), col("to")).agg(sum(col("conn")).as("cconn"))
+        val gains = idSum
+          .join(refund, Seq("cid"), "left")
+          .join(conn, "cid")
+          .filter(hillDir)
+          .withColumn("jgain", col("cconn") - col("idSum") +
+            coalesce(col("refund"), lit(0L)))
+          .filter(col("jgain") > 0)
+          .groupBy(col("cid"), col("from"))
+          .agg(max(struct(col("jgain"), (-col("to")).as("nt"))).as("b"))
+          .select(col("cid"), col("from"), (-col("b.nt")).as("to"),
+            col("b.jgain").as("gain")).ckpt()
+        val nFrozen = gains.count()
+        if (nFrozen > 0) {
+          cands = gains :: cands
+          val fNext = (if (frozenIds == null) gains.select(col("cid"))
+            else frozenIds.unionByName(gains.select(col("cid")))).ckpt()
+          if (frozenIds != null) graft.plans.Plans.unpersist(frozenIds)
+          frozenIds = fNext
+        } else graft.plans.Plans.unpersist(gains)
+        // no merge and no new freeze -> later rounds are identical
+        progressed = nMerged > 0 || nFrozen > 0
+      }
+      graft.plans.Plans.unpersist(stuck)
+      graft.plans.Plans.unpersist(se)
+      graft.plans.Plans.unpersist(extConn)
+      if (frozenIds != null) graft.plans.Plans.unpersist(frozenIds)
+      if (cands.isEmpty) {
+        graft.plans.Plans.unpersist(memb)
+        return None
+      }
+      // admit frozen hills by gain order under both balance windows, with
+      // per-constraint hill weights summed over final memberships
+      val hills = cands.reduce(_ unionByName _)
+      val hwCols = (0 until ncon).map(c => sum(wc(c)).as(s"hw$c"))
+      val hw = memb.join(vw, "vid").groupBy(col("cid"))
+        .agg(hwCols.head, hwCols.tail: _*)
+      val units = hills.join(hw, "cid")
+        .withColumn("vwgts",
+          array((0 until ncon).map(c => col(s"hw$c")): _*))
       val pwRows = a.join(vw, "vid").groupBy(col("part"))
         .agg((0 until ncon).map(c => sum(wc(c)).as(s"pw$c")).head,
           (0 until ncon).map(c => sum(wc(c)).as(s"pw$c")).tail: _*).collect()
@@ -294,10 +367,10 @@ object Refinement {
         (0 until ncon).foreach(c => pw(p)(c) = r.getLong(c + 1))
       }
       val wTo = Window.partitionBy(col("to"))
-        .orderBy(col("gain").desc, col("u"))
+        .orderBy(col("gain").desc, col("cid"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wFrom = Window.partitionBy(col("from"))
-        .orderBy(col("gain").desc, col("u"))
+        .orderBy(col("gain").desc, col("cid"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val okCond = (0 until ncon).map { c =>
         (sum(wc(c)).over(wTo) <=
@@ -306,17 +379,19 @@ object Refinement {
           byPart(col("from"), p => pw(p)(c) - minW(p)(c)))
       }.reduce(_ && _)
       val admitted = units.withColumn("ok", okCond).filter(col("ok"))
-        .select(col("u"), col("v"), col("to")).ckpt()
+        .select(col("cid"), col("to")).ckpt()
+      cands.foreach(graft.plans.Plans.unpersist) // per-round gains released
       if (admitted.isEmpty) {
         graft.plans.Plans.unpersist(admitted)
+        graft.plans.Plans.unpersist(memb)
         return None
       }
-      val moved = admitted.select(col("u").as("vid"), col("to"))
-        .unionByName(admitted.select(col("v").as("vid"), col("to")))
+      val moved = admitted.join(memb, "cid").select(col("vid"), col("to"))
       val out = graft.plans.Plans.checkpoint(
         a.join(moved, Seq("vid"), "left")
           .select(col("vid"), coalesce(col("to"), col("part")).as("part")))
       graft.plans.Plans.unpersist(admitted)
+      graft.plans.Plans.unpersist(memb)
       Some(out)
     }
 
@@ -339,9 +414,9 @@ object Refinement {
     if (cur ne best) graft.plans.Plans.unpersist(cur)
     // hill rounds once greedy stalls (the reference runs HS when the greedy
     // pass stops improving): one round per direction — move jointly-
-    // profitable pairs, then one greedy clean-up pass around the moved hills
+    // profitable hills, then one greedy clean-up pass around the moved hills
     for (hsPhase <- 0 to 1) {
-      hillPairs(best, hsPhase).foreach { afterHills =>
+      hillMoves(best, hsPhase).foreach { afterHills =>
         val next = onePass(afterHills)
         graft.plans.Plans.unpersist(afterHills)
         val (cut, imb) = cutAndImbalance(next)
