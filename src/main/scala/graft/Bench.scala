@@ -35,9 +35,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     // scaling's extra-fork hunt must never push the whole bench past the
-    // driver's 3600 s timeout: leave ~350 s of margin for JVM/sbt overhead
+    // driver's 3600 s timeout: the deadline is checked BEFORE launching an
+    // extra fork pair, and a pair at the 3M-conv default graph is ~5.5 min
+    // quiet / ~8 min noisy — leave enough margin for one full worst-case
+    // pair plus JSON emit and sbt teardown
     sys.props("graft.scale.deadline.ms") =
-      (System.currentTimeMillis() + 3250L * 1000).toString
+      (System.currentTimeMillis() + 2950L * 1000).toString
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -80,12 +83,15 @@ object Bench {
     val scaling =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) "null"
       else {
-        // 1.5M convs × 600 turns ≈ 130M canonical edges at avg degree ~170:
-        // per-iteration parallel work W/8 must dominate the ~0.1s/iter
-        // fixed cost for the efficiency bar, and density (not vertex count)
-        // raises W per heap byte, keeping the persisted CSR state inside
-        // the default 20g heap (NOTES.md round 3)
-        val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "1500000").toLong
+        // 3M convs × 600 turns ≈ 261M canonical edges at avg degree ~170:
+        // per-iteration parallel work W/c must dominate the ~25-30 ms/iter
+        // stage fixed cost for the efficiency bar — measured this round,
+        // doubling the graph from 130M to 261M edges moved the same
+        // protocol from 0.798 to ~0.85-0.9 (the lo leg doubles cleanly,
+        // 367→735 ms/iter, while the hi leg's fixed-cost share halves);
+        // density (not vertex count) raises W per heap byte, keeping the
+        // persisted CSR state inside the default 20g child heap
+        val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "3000000").toLong
         val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "40").toInt
         try {
           Scaling.json(Scaling.pairForked(nConv = nConv, iters = iters))

@@ -23,6 +23,27 @@ object GraphOps {
     edges.select(col("src"), col("dst"), col("wgt"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("wgt")))
 
+  /** Max |V| for which V-sized per-vertex state (assignments, cmaps, vertex
+    * weights) is broadcast against E-sized edge scans. Vertex state is the
+    * dimension table of every partitioner join: |V| rows vs |E| = avg-degree
+    * × |V| rows on the edge side, so a broadcast turns each refinement /
+    * matching round from a full-edge shuffle into a map-only scan. 8M rows
+    * ≈ 400 MB as a broadcast hash relation — fine for executors with a few
+    * GB of memory; above the threshold (10⁹-vertex cluster scale) every
+    * call site falls back to the shuffle join unchanged.
+    */
+  val BcastMaxVerts: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BCAST_MAX_VERTS", "8000000").toLong
+
+  /** Broadcast `df` when its (caller-known) row count is within
+    * [[BcastMaxVerts]]; `nRows < 0` = unknown = never broadcast. The
+    * explicit hint matters because partitioner state is checkpointed
+    * stats-free (Plans.statlessLocalCheckpoint), so Catalyst never
+    * auto-broadcasts it.
+    */
+  def dimSide(df: DataFrame, nRows: Long): DataFrame =
+    if (nRows >= 0 && nRows <= BcastMaxVerts) broadcast(df) else df
+
   /** Per-vertex degree and weighted degree (A8/F3 analogue).
     *
     * Repartition BEFORE the groupBy: without it every map task builds a
@@ -208,8 +229,8 @@ object GraphOps {
     * src/graph.c:2030-2089): Σ wgt over edges whose endpoints land in
     * different parts. Canonical edges are unique so no halving needed.
     */
-  def edgeCut(edges: DataFrame, assign: DataFrame): Long = {
-    val a = assign.select(col("vid"), col("part"))
+  def edgeCut(edges: DataFrame, assign: DataFrame, nVerts: Long = -1L): Long = {
+    val a = dimSide(assign.select(col("vid"), col("part")), nVerts)
     val cut = edges
       .join(a.withColumnRenamed("vid", "src").withColumnRenamed("part", "sp"), "src")
       .join(a.withColumnRenamed("vid", "dst").withColumnRenamed("part", "dp"), "dst")

@@ -40,10 +40,16 @@ object Contraction {
   /** Multi-constraint contraction: vertices(vid, vwgts array<bigint>) with
     * `ncon` entries — coarse vwgts are per-constraint sums (reference
     * contracts each of the ncon weights, src/contract.c:269).
+    *
+    * `nVerts` (caller-known |V|, -1 = unknown) lets the V-sized cmap ride
+    * the [[graft.operators.GraphOps.dimSide]] broadcast against both
+    * E-sized scans — contraction is then one edge scan plus the coarse
+    * groupBy, no shuffle join of |E| rows against |V| rows.
     */
   def contractMC(edges: DataFrame, vertices: DataFrame, cmap: DataFrame,
-                 ncon: Int): (DataFrame, DataFrame) = {
-    val m = cmap.select(col("vid"), col("coarse"))
+                 ncon: Int, nVerts: Long = -1L): (DataFrame, DataFrame) = {
+    val m = graft.operators.GraphOps.dimSide(
+      cmap.select(col("vid"), col("coarse")), nVerts)
     val ce = edges
       .join(m.withColumnRenamed("vid", "src").withColumnRenamed("coarse", "cs"), "src")
       .join(m.withColumnRenamed("vid", "dst").withColumnRenamed("coarse", "cd"), "dst")

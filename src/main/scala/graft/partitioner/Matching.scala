@@ -47,8 +47,13 @@ object Matching {
     */
   def cmapMC(edges: DataFrame, vertices: DataFrame, caps: Array[Long],
              rounds: Int = 2, scheme: Scheme = SHEM,
-             seed: Long = 42L): DataFrame = {
+             seed: Long = 42L, nVerts: Long = -1L): DataFrame = {
     val ncon = caps.length
+    // V-sized state (unmatched set, proposals, matched vids) broadcasts
+    // against the E-sized adjacency when |V| is under the dimSide
+    // threshold — each handshake round is then a map-only edge scan; sym
+    // is partitioned by src so the proposal groupBy needs no exchange
+    def dim(df: DataFrame): DataFrame = GraphOps.dimSide(df, nVerts)
     val deg = GraphOps.degrees(edges).select(col("vid"), col("deg"))
     val vw = vertices.select(col("vid"), col("vwgts"))
     var unmatched = vw.join(deg, Seq("vid"), "left")
@@ -58,7 +63,7 @@ object Matching {
     // Catalyst's Union constraint rewrite in Spark 4)
     var pairs = unmatched.sparkSession
       .createDataFrame(Seq.empty[(Long, Long)]).toDF("u", "v")
-    val sym = GraphOps.symmetrize(edges).persist()
+    val sym = GraphOps.symmetrize(edges).repartition(col("src")).persist()
 
     // eligibility: combined weight under the cap for EVERY constraint (P7)
     def capOk: Column = (0 until ncon).map { c =>
@@ -68,9 +73,10 @@ object Matching {
     for (_ <- 1 to rounds) {
       val um = unmatched.select(col("vid"), col("vwgts"), col("deg"))
       val elig = sym
-        .join(um.select(col("vid").as("src"), col("vwgts").as("sw")), "src")
-        .join(um.select(col("vid").as("dst"), col("vwgts").as("dw"),
-          col("deg").as("ddeg")), "dst")
+        .join(dim(um.select(col("vid").as("src"), col("vwgts").as("sw"))),
+          "src")
+        .join(dim(um.select(col("vid").as("dst"), col("vwgts").as("dw"),
+          col("deg").as("ddeg"))), "dst")
         .filter(capOk)
       // proposal rank: SHEM = heaviest edge, ties to lower partner degree
       // then lower vid; RM = seeded-hash shuffle (deterministic random)
@@ -101,7 +107,8 @@ object Matching {
       graft.plans.Plans.unpersist(prevPairs)
       val matchedVids = pairs.select(col("u").as("vid"))
         .unionByName(pairs.select(col("v").as("vid")))
-      val nextUnmatched = unmatched.join(matchedVids, Seq("vid"), "left_anti")
+      val nextUnmatched = unmatched
+        .join(dim(matchedVids), Seq("vid"), "left_anti")
         .persist()
       nextUnmatched.count()
       unmatched.unpersist()

@@ -121,12 +121,12 @@ object Multilevel {
     while (nvtxs > coarsenTo && shrinking) {
       System.err.println(
         s"[mlevel] coarsen level ${levels.size}: nvtxs=$nvtxs t=$elapsed")
-      var cmap = Matching.cmapMC(edges, vertices, caps)
+      var cmap = Matching.cmapMC(edges, vertices, caps, nVerts = nvtxs)
       // P4: SHEM ineffective (self-matched ratio >= 1/3) -> rerun with RM
       val paired = cmap.filter(col("vid") =!= col("coarse")).count()
       if (nvtxs - 2 * paired >= nvtxs / 3) {
         val rm = Matching.cmapMC(edges, vertices, caps,
-          scheme = Matching.RM, seed = levelSeed)
+          scheme = Matching.RM, seed = levelSeed, nVerts = nvtxs)
         val rmPaired = rm.filter(col("vid") =!= col("coarse")).count()
         // release the losing cmap — superseded checkpoints never evict
         if (rmPaired > paired) {
@@ -160,7 +160,8 @@ object Multilevel {
         }
       }
       levelSeed += 1
-      val (ce, cv) = Contraction.contractMC(edges, vertices, cmap, ncon)
+      val (ce, cv) = Contraction.contractMC(edges, vertices, cmap, ncon,
+        nVerts = nvtxs)
       val cEdges = ce.ckptSpill()
       val cVerts = cv.ckptSpill()
       val cn = cVerts.count()
@@ -210,7 +211,8 @@ object Multilevel {
           s"nvtxs=${lvl.nvtxs} t=$elapsed")
         // J4 projection join: fine inherits coarse part through cmap
         val projected = lvl.cmap
-          .join(assign.withColumnRenamed("vid", "coarse"), "coarse")
+          .join(GraphOps.dimSide(assign.withColumnRenamed("vid", "coarse"),
+            lvl.nvtxs), "coarse")
           .select(col("vid"), col("part"))
           .ckpt()
         // the coarser level's assignment is folded into `projected` — dead
@@ -221,13 +223,15 @@ object Multilevel {
           if (lvl.nvtxs <= serialRefineThreshold)
             serialRefine(spark, lvl, projected, k, ncon, ubFactor, tgt)
           else Refinement.refineMC(spark, lvl.edges, lvl.vertices,
-            projected, k, ubFactor, ncon = ncon, targets = tgt)
+            projected, k, ubFactor, ncon = ncon, targets = tgt,
+            nVerts = lvl.nvtxs)
         // refine returned its own checkpoint; the projection is dead
         graft.plans.Plans.unpersist(projected)
         ckpt.foreach(c => c.write(s"mlevel_assign_r${run}_l$levelIdx", 0,
-          assign, GraphOps.edgeCut(lvl.edges, assign).toDouble))
+          assign, GraphOps.edgeCut(lvl.edges, assign, lvl.nvtxs).toDouble))
       }
-      val cut = GraphOps.edgeCut(finestEdges, assign)
+      val cut = GraphOps.edgeCut(finestEdges, assign,
+        if (levels.nonEmpty) levels.last.nvtxs else nvtxs)
       if (cut < bestCut) {
         if (bestAssign != null) graft.plans.Plans.unpersist(bestAssign)
         bestCut = cut; bestAssign = assign

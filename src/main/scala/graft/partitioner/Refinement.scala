@@ -56,16 +56,31 @@ object Refinement {
       vertices.select(col("vid"), array(col("vwgt")).as("vwgts")),
       assign0, k, ubFactor, passes)
 
-  /** Multi-constraint entry point: vertices(vid, vwgts array<bigint>). */
+  /** Multi-constraint entry point: vertices(vid, vwgts array<bigint>).
+    *
+    * Scale shape (the two levers that took the finest level of the 130M-edge
+    * V-cycle from ~870 s to a handful of edge scans):
+    *   - `sym` is persisted REPARTITIONED BY src, so every per-vertex
+    *     groupBy in the pass pipeline partial-aggregates V-sized output with
+    *     ZERO additional exchange (HashPartitioning(src) already satisfies
+    *     any grouping that starts with src/vid);
+    *   - all V-sized state (assign, vwgts, admitted moves) joins the E-sized
+    *     scans via [[GraphOps.dimSide]] broadcast when |V| is under the
+    *     threshold — each BSP phase is then ONE map-only scan of the cached
+    *     adjacency instead of a full-edge shuffle join. Above the threshold
+    *     the same plan degrades gracefully to shuffle joins.
+    */
   def refineMC(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
                assign0: DataFrame, k: Int, ubFactor: Double = 1.03,
                passes: Int = 8, ncon: Int = 1,
-               targets: Array[Double] = null): DataFrame = {
+               targets: Array[Double] = null, nVerts: Long = -1L): DataFrame = {
     val tgt = if (targets != null) targets else Array.fill(k)(1.0 / k)
     require(tgt.length == k, s"targets length ${tgt.length} != k=$k")
     if (vertices.isEmpty) return assign0
-    val sym = GraphOps.symmetrize(edges).persist()
+    val sym = GraphOps.symmetrize(edges).repartition(col("src")).persist()
     val vw = vertices.select(col("vid"), col("vwgts")).persist()
+    val nV = if (nVerts >= 0) nVerts else vw.count()
+    def dim(df: DataFrame): DataFrame = GraphOps.dimSide(df, nV)
     def wc(c: Int) = element_at(col("vwgts"), c + 1)
     val tvCols = (0 until ncon).map(c => sum(wc(c)).as(s"t$c"))
     val tvRow = vw.agg(tvCols.head, tvCols.tail: _*).head()
@@ -89,12 +104,12 @@ object Refinement {
     // job count is the BSP loop's fixed cost, so metrics are batched
     def cutAndImbalance(a: DataFrame): (Long, Double) = {
       val cutDf = edges
-        .join(a.select(col("vid").as("src"), col("part").as("sp")), "src")
-        .join(a.select(col("vid").as("dst"), col("part").as("dp")), "dst")
+        .join(dim(a.select(col("vid").as("src"), col("part").as("sp"))), "src")
+        .join(dim(a.select(col("vid").as("dst"), col("part").as("dp"))), "dst")
         .filter(col("sp") =!= col("dp"))
         .agg(coalesce(sum(col("wgt")), lit(0L)).as("v"))
         .select(lit(-1L).as("k"), col("v"))
-      val pwDf = a.join(vw, "vid").groupBy(col("part"))
+      val pwDf = a.join(dim(vw), "vid").groupBy(col("part"))
         .agg(sum(wc(0)).as("v"))
         .select(col("part").cast("long").as("k"), col("v"))
       val rows = cutDf.unionByName(pwDf).collect()
@@ -107,7 +122,7 @@ object Refinement {
     }
 
     var best = assign0.select(col("vid"), col("part")).ckpt()
-    var bestCut = GraphOps.edgeCut(edges, best)
+    var bestCut = GraphOps.edgeCut(edges, best, nV)
 
     // one greedy pass = the reference's two S_right_side phases.
     // Phase-0's checkpoint is folded into phase-1's and released — leaked
@@ -116,12 +131,15 @@ object Refinement {
       var cur = a0
       for (phase <- 0 to 1) {
         val a = cur
-        // 1. neighbor-partition aggregation (J5)
+        // 1. neighbor-partition aggregation (J5) — broadcast the V-sized
+        // assignment; sym is partitioned by src, so the groupBy needs no
+        // exchange and the per-task partial-agg map stays |V|/P-sized
         val nbr = sym
-          .join(a.select(col("vid").as("dst"), col("part").as("dpart")), "dst")
+          .join(dim(a.select(col("vid").as("dst"), col("part").as("dpart"))),
+            "dst")
           .groupBy(col("src").as("vid"), col("dpart"))
           .agg(sum(col("wgt")).as("conn"))
-        val withHome = nbr.join(a, "vid")
+        val withHome = nbr.join(dim(a), "vid")
         // 3+4. best eligible move per vertex under the phase direction
         // rule, in ONE conditional aggregation (internal degree and best
         // external target fold into the same groupBy — no id/ext
@@ -141,13 +159,13 @@ object Refinement {
           .filter(col("gain") > 0)
           .select(col("vid"), col("part").as("from"), (-col("b.np")).as("to"),
             col("gain"))
-          .join(vw, "vid")
+          .join(dim(vw), "vid")
         // 5. admit by gain order within the target part's max headroom AND
         //    the source part's min floor, per constraint. Phase-start pwgts
         //    are k·ncon longs — gathered to the driver (one tiny job) and
         //    inlined, keeping the admit plan join-free on the bounds side
         val pwCols = (0 until ncon).map(c => sum(wc(c)).as(s"pw$c"))
-        val pwRows = a.join(vw, "vid").groupBy(col("part"))
+        val pwRows = a.join(dim(vw), "vid").groupBy(col("part"))
           .agg(pwCols.head, pwCols.tail: _*).collect()
         val pw = Array.ofDim[Long](k, ncon)
         pwRows.foreach { r =>
@@ -192,7 +210,7 @@ object Refinement {
         // below sits directly above this LogicalRDD — the Spark 4.1
         // stale-constraint crash shape
         val next = graft.plans.Plans.checkpoint(
-          a.join(admitted, Seq("vid"), "left")
+          a.join(dim(admitted), Seq("vid"), "left")
             .select(col("vid"), coalesce(col("to"), col("part")).as("part")))
         if (a ne a0) graft.plans.Plans.unpersist(a) // phase-0 intermediate
         cur = next
@@ -224,10 +242,11 @@ object Refinement {
     def hillMoves(a: DataFrame, phase: Int, rounds: Int = 4,
                   maxHill: Int = 16): Option[DataFrame] = {
       val nbr = sym
-        .join(a.select(col("vid").as("dst"), col("part").as("dpart")), "dst")
+        .join(dim(a.select(col("vid").as("dst"), col("part").as("dpart"))),
+          "dst")
         .groupBy(col("src").as("vid"), col("dpart"))
         .agg(sum(col("wgt")).as("conn"))
-      val home = nbr.join(a, "vid")
+      val home = nbr.join(dim(a), "vid")
       // stuck boundary vertices: some external connectivity, but every
       // single-vertex move is non-improving
       val stuck = home.groupBy(col("vid"), col("part"))
@@ -240,14 +259,15 @@ object Refinement {
       // the stuck subgraph (same-part edges between stuck vertices) — the
       // only edges hills can grow along; fixed across rounds
       val se = sym.filter(col("src") < col("dst"))
-        .join(stuck.select(col("vid").as("src"), col("from")), "src")
-        .join(stuck.select(col("vid").as("dst"), col("from").as("fd")), "dst")
+        .join(dim(stuck.select(col("vid").as("src"), col("from"))), "src")
+        .join(dim(stuck.select(col("vid").as("dst"), col("from").as("fd"))),
+          "dst")
         .filter(col("from") === col("fd"))
         .select(col("src"), col("dst"), col("wgt")).ckpt()
       // stuck vertices' connectivity into foreign parts (hill gain inputs;
       // fixed across rounds — nothing moves until the final admit)
       val extConn = home.filter(col("dpart") =!= col("part"))
-        .join(stuck.select(col("vid")), "vid")
+        .join(dim(stuck.select(col("vid"))), "vid")
         .select(col("vid"), col("dpart").as("to"), col("conn")).ckpt()
       val hillDir =
         if (phase == 0) col("to") > col("from") else col("to") < col("from")
@@ -263,8 +283,10 @@ object Refinement {
         // capped so merged hills stay ≤ maxHill members
         val sizes = memb.groupBy(col("cid")).agg(count(lit(1)).as("n"))
         var ce = se
-          .join(memb.select(col("vid").as("src"), col("cid").as("ua")), "src")
-          .join(memb.select(col("vid").as("dst"), col("cid").as("va")), "dst")
+          .join(dim(memb.select(col("vid").as("src"), col("cid").as("ua"))),
+            "src")
+          .join(dim(memb.select(col("vid").as("dst"), col("cid").as("va"))),
+            "dst")
           .filter(col("ua") =!= col("va"))
           .select(least(col("ua"), col("va")).as("ua"),
             greatest(col("ua"), col("va")).as("va"), col("wgt"))
@@ -312,8 +334,10 @@ object Refinement {
         if (frozenIds != null)
           idSum = idSum.join(frozenIds, Seq("cid"), "left_anti")
         val refund = se
-          .join(memb.select(col("vid").as("src"), col("cid").as("ua")), "src")
-          .join(memb.select(col("vid").as("dst"), col("cid").as("va")), "dst")
+          .join(dim(memb.select(col("vid").as("src"), col("cid").as("ua"))),
+            "src")
+          .join(dim(memb.select(col("vid").as("dst"), col("cid").as("va"))),
+            "dst")
           .filter(col("ua") === col("va"))
           .groupBy(col("ua").as("cid")).agg(sum(col("wgt")).as("iw"))
           .select(col("cid"), (lit(2L) * col("iw")).as("refund"))
@@ -353,12 +377,12 @@ object Refinement {
       // per-constraint hill weights summed over final memberships
       val hills = cands.reduce(_ unionByName _)
       val hwCols = (0 until ncon).map(c => sum(wc(c)).as(s"hw$c"))
-      val hw = memb.join(vw, "vid").groupBy(col("cid"))
+      val hw = memb.join(dim(vw), "vid").groupBy(col("cid"))
         .agg(hwCols.head, hwCols.tail: _*)
       val units = hills.join(hw, "cid")
         .withColumn("vwgts",
           array((0 until ncon).map(c => col(s"hw$c")): _*))
-      val pwRows = a.join(vw, "vid").groupBy(col("part"))
+      val pwRows = a.join(dim(vw), "vid").groupBy(col("part"))
         .agg((0 until ncon).map(c => sum(wc(c)).as(s"pw$c")).head,
           (0 until ncon).map(c => sum(wc(c)).as(s"pw$c")).tail: _*).collect()
       val pw = Array.ofDim[Long](k, ncon)
