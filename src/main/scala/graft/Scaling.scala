@@ -516,8 +516,19 @@ object Scaling {
             f"iterMed=${r.iterMedianMs}%.0fms")
         }
       }
-      for (k <- 1 to forks) runPair(k)
-      var k = forks
+      // the FIRST pair always runs (no estimate without one sample per
+      // level); later base pairs re-check the deadline — a cold prep plus
+      // four pairs can otherwise overshoot the driver's hard timeout and
+      // lose the whole bench JSON (round 2's rc=124)
+      runPair(1)
+      var k = 1
+      while (k < forks && System.currentTimeMillis() < deadline) {
+        k += 1
+        runPair(k)
+      }
+      if (k < forks)
+        System.err.println(s"[scaling] deadline reached after $k/$forks " +
+          "base fork pairs — emitting with what we have")
       // retry when the estimate is under target OR implausibly superlinear
       // (> 1.05 means the LO level's estimate is still noise-inflated —
       // more forks shrink both levels toward true machine capacity)

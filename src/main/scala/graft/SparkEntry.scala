@@ -350,6 +350,24 @@ object SparkEntry {
       m.select((col("n_a") + col("n_b") + col("n_sep")).as("n_total"),
         col("violations"))
     },
+    // R4 flow family: the DISTRIBUTED greedy separator pass
+    // (SeparatorRefine.refineGreedyDist, reference S_flow_GREEDY
+    // src/vseprefine.c:482-623) applied on top of the ND separator — the
+    // scale path used when the separator exceeds the gather bound. Gate:
+    // totality preserved, zero A-B violations, separator never heavier
+    // than its input (pass-granular FM rollback guarantees it)
+    "q_vsep_flow" -> { (s, d) =>
+      val e = EventsGraph.edges(s, d)
+      val v = EventsGraph.vertices(s, d)
+      val vw = v.withColumn("vwgt", lit(1L)).select(col("vid"), col("vwgt"))
+      val where0 = graft.partitioner.NestedDissection.vertexSeparator(s, e, v)
+      val sep0 = GraphOps.vsepMetrics(e, vw, where0).head().getLong(3)
+      val out = graft.partitioner.SeparatorRefine
+        .refineGreedyDist(s, e, where0, vw)
+      val m = GraphOps.vsepMetrics(e, vw, out)
+      m.select((col("n_a") + col("n_b") + col("n_sep")).as("n_total"),
+        col("violations"), (col("sep_weight") <= lit(sep0)).as("sep_no_worse"))
+    },
     // A10 internal/external vertex counts (par_graph_intext_vtx,
     // src/graph.c:3004-3042) under the deterministic pmod(vid, 4)
     // assignment — fully recomputable in SQL, so the METRIC itself is
@@ -638,6 +656,12 @@ object SparkEntry {
         |  SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
         |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)
         |SELECT n AS n_total, CAST(0 AS BIGINT) AS violations FROM n""".stripMargin,
+    "q_vsep_flow" ->
+      """WITH n AS (
+        |  SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
+        |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)
+        |SELECT n AS n_total, CAST(0 AS BIGINT) AS violations,
+        |       TRUE AS sep_no_worse FROM n""".stripMargin,
     "q_intext" ->
       s"""WITH e_canon AS ($EC), v AS ($VC),
          |sym AS (SELECT src, dst FROM e_canon

@@ -46,12 +46,16 @@ object SeparatorRefine {
       .distinct()
     val nGather = gatherIds.count()
     if (nGather > maxGather) {
-      // never silent (repo rule): a skipped refinement is a quality loss
-      // the caller must be able to see and count
-      graft.plans.Metrics.event("vsep_refine_skipped",
+      // never silent (repo rule): counted, and since round 4 the over-bound
+      // path gets the DISTRIBUTED greedy pass (S_flow_GREEDY re-expression)
+      // instead of returning unrefined — the gathered FM stays the
+      // small-separator path (it sees negative-gain chains the one-sided
+      // greedy cannot)
+      graft.plans.Metrics.event("vsep_refine_dist_fallback",
         s"separator+frontier $nGather > maxGather $maxGather — " +
-          "returning input unrefined")
-      return w
+          "running distributed greedy pass instead of gathered FM")
+      return refineGreedyDist(spark, edges, w, vwgt, ubFactor,
+        passes = math.max(passes, 4))
     }
     // global side weights (balance is whole-graph, not gathered-set)
     val sideWRows = w.join(vwgt, "vid").groupBy(col("side"))
@@ -80,6 +84,125 @@ object SeparatorRefine {
     w.join(updated, Seq("vid"), "left")
       .select(col("vid"),
         coalesce(col("nside"), col("side")).cast("int").as("side"))
+  }
+
+  /** Distributed one-sided greedy separator refinement — the Spark
+    * re-expression of the reference's PARALLEL flow pass (S_flow_GREEDY,
+    * reference src/vseprefine.c:482-623, dispatched per half-pass by
+    * S_pass_GREEDY :1303-1371): per half-pass pick ONE target side s
+    * (starting with the lighter side, alternating — :1323-1329), move
+    * positive-gain separator vertices to s (gain = w(v) − Σ w(neighbors on
+    * the other side); :538-543), pull their other-side neighbors into the
+    * separator (:579-599), and stop after two consecutive zero-move
+    * half-passes (:1360-1365).
+    *
+    * BSP shape (same pattern as [[Refinement]]'s bounded-admit greedy):
+    * gains for ALL separator vertices in one join+aggregate, candidates
+    * admitted in gain order under a cumulative-weight prefix so the target
+    * side never exceeds maxpwgt (reference :556-559) — the prefix window
+    * runs on a pre-truncated candidate set (top `admitCap` per hash
+    * bucket), so the single-task window is bounded by admitBuckets×admitCap
+    * rows regardless of |SEP|. Unlike the serial per-move loop,
+    * simultaneous movers sharing a pulled neighbor can jointly regress, so
+    * the best assignment seen is kept FM-style (pass-granular rollback).
+    *
+    * This is the SCALE path: it never gathers the separator to the driver,
+    * so it refines separators of any size (the gathered [[fm]] is bounded
+    * by `maxGather`).
+    */
+  def refineGreedyDist(spark: SparkSession, edges: DataFrame,
+                       where: DataFrame, vwgt: DataFrame,
+                       ubFactor: Double = 1.2, passes: Int = 8,
+                       admitBuckets: Int = 32, admitCap: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var w = where.select(col("vid"), col("side").cast("int").as("side")).ckpt()
+    val vw = vwgt.select(col("vid"), col("vwgt"))
+    val sym = GraphOps.symmetrize(edges).select(col("src"), col("dst")).ckpt()
+    def sideWeights(a: DataFrame): Array[Long] = {
+      val out = Array.fill(3)(0L)
+      a.join(vw, "vid").groupBy(col("side")).agg(sum(col("vwgt")).as("sw"))
+        .collect().foreach(r => out(r.get(0).toString.toInt) = r.getLong(1))
+      out
+    }
+    var sw = sideWeights(w)
+    val tv = sw.sum
+    val maxSide = math.ceil(ubFactor * tv / 2.0).toLong
+    // first half-pass targets the LIGHTER side (reference :1323-1329)
+    val o = if (sw(0) > sw(1)) 1 else 0
+    var bestW = w
+    var bestSep = sw(2)
+    var nnone = 0
+    var d = 0
+    while (d < passes && nnone < 2 && sw(2) > 0) {
+      val s = (d + o) % 2
+      val other = 1 - s
+      val sepIds = w.filter(col("side") === 2).select(col("vid"))
+      // pull weight per separator vertex: Σ vwgt of neighbors on `other`
+      val pull = sym
+        .join(sepIds.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+        .join(w.filter(col("side") === other)
+          .select(col("vid").as("dst")), Seq("dst"), "left_semi")
+        .join(vw.select(col("vid").as("dst"), col("vwgt").as("dvw")), "dst")
+        .groupBy(col("src").as("vid")).agg(sum(col("dvw")).as("pull"))
+      val cand = sepIds.join(pull, Seq("vid"), "left")
+        .na.fill(0L, Seq("pull")).join(vw, "vid")
+        .withColumn("gain", col("vwgt") - col("pull"))
+        // positive gain only; zero gain admitted while s is the lighter
+        // side (reference :538-543)
+        .filter(col("gain") > 0 ||
+          (col("gain") === 0 && lit(sw(s) < sw(other))))
+      val quota = maxSide - sw(s)
+      val movers =
+        if (quota <= 0) spark.range(0).select(col("id").as("vid"))
+        else {
+          // bounded admit (Refinement pattern): pre-truncate per hash
+          // bucket so the exact cumulative prefix below is a single task
+          // over ≤ admitBuckets×admitCap rows, never O(|SEP|)
+          val capped = cand
+            .withColumn("bkt", pmod(xxhash64(col("vid")), lit(admitBuckets)))
+            .withColumn("r", row_number().over(Window.partitionBy(col("bkt"))
+              .orderBy(col("gain").desc, col("vid"))))
+            .filter(col("r") <= admitCap).drop("bkt", "r")
+          val wCum = Window.orderBy(col("gain").desc, col("vid"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          capped.withColumn("cumw", sum(col("vwgt")).over(wCum))
+            .filter(col("cumw") <= quota).select(col("vid"))
+        }
+      val mv = movers.ckpt()
+      val nMoves = mv.count()
+      if (nMoves == 0) {
+        graft.plans.Plans.unpersist(mv)
+        nnone += 1
+      } else {
+        // other-side neighbors of every mover enter the separator
+        val pulled = sym
+          .join(mv.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+          .select(col("dst").as("vid")).distinct()
+          .join(w.filter(col("side") === other).select(col("vid")),
+            Seq("vid"), "left_semi")
+        val prev = w
+        w = prev
+          .join(mv.withColumn("mv", lit(true)), Seq("vid"), "left")
+          .join(pulled.withColumn("pl", lit(true)), Seq("vid"), "left")
+          .select(col("vid"),
+            when(col("mv"), lit(s)).when(col("pl"), lit(2))
+              .otherwise(col("side")).cast("int").as("side"))
+          .ckpt()
+        graft.plans.Plans.unpersist(mv)
+        sw = sideWeights(w)
+        if (sw(2) < bestSep) {
+          if (!(bestW eq prev)) graft.plans.Plans.unpersist(bestW)
+          bestSep = sw(2)
+          bestW = w
+        }
+        if (!(prev eq bestW)) graft.plans.Plans.unpersist(prev)
+        nnone = 0
+      }
+      d += 1
+    }
+    if (!(w eq bestW)) graft.plans.Plans.unpersist(w)
+    graft.plans.Plans.unpersist(sym)
+    bestW
   }
 
   /** In-place FM over the gathered arrays; returns true if any label

@@ -263,6 +263,68 @@ class PartitionerExtSpec extends SparkSpec {
     assert(bad.isEmpty, s"uncovered A-B edges: $bad")
   }
 
+  test("distributed greedy separator (R4 flow): pendant leaves, validity holds") {
+    // same fixture as the FM strict-shrink test: pendant 3 has no B-side
+    // neighbor, so the one-sided greedy pass must move it out of SEP
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 3L, 1L))
+    val where0 = spark.createDataFrame(Seq(
+      (0L, 0), (1L, 2), (2L, 1), (3L, 2))).toDF("vid", "side")
+    val vw = vertsDf(Seq(0L, 1L, 2L, 3L)).withColumn("vwgt", lit(1L))
+    val out = graft.partitioner.SeparatorRefine
+      .refineGreedyDist(spark, edgesDf(e), where0, vw)
+      .collect().map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L), "totality")
+    assert(out(3L) != 2, "pendant must leave the separator")
+    assert(out.values.count(_ == 2) == 1, s"sep must shrink to one vertex: $out")
+    val bad = e.filter { case (s, d, _) =>
+      (out(s) == 0 && out(d) == 1) || (out(s) == 1 && out(d) == 0) }
+    assert(bad.isEmpty, s"uncovered A-B edges: $bad")
+  }
+
+  test("distributed greedy separator: drains free movers under the balance cap") {
+    // A={0}, B={1}, SEP={2..9}; only 0-2 and 1-3 edges. Every sep vertex
+    // except 3 has gain 1 toward side A; maxSide=ceil(1.2*10/2)=6 caps the
+    // first half-pass at 5 movers, the second half-pass (toward B) takes
+    // the rest — separator fully drains, both sides within the cap
+    val e = Seq((0L, 2L, 1L), (1L, 3L, 1L))
+    val verts = (0L to 9L)
+    val where0 = spark.createDataFrame(
+      verts.map(v => (v, if (v == 0L) 0 else if (v == 1L) 1 else 2)))
+      .toDF("vid", "side")
+    val vw = vertsDf(verts).withColumn("vwgt", lit(1L))
+    val outDf = graft.partitioner.SeparatorRefine
+      .refineGreedyDist(spark, edgesDf(e), where0, vw)
+    val out = outDf.collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+    assert(out.keySet == verts.toSet, "totality")
+    assert(out.values.count(_ == 2) == 0, s"separator must drain: $out")
+    val sw = out.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(sw.getOrElse(0, 0) <= 6 && sw.getOrElse(1, 0) <= 6,
+      s"balance cap 6 violated: $sw")
+    val bad = e.filter { case (s, d, _) =>
+      (out(s) == 0 && out(d) == 1) || (out(s) == 1 && out(d) == 0) }
+    assert(bad.isEmpty, s"uncovered A-B edges: $bad")
+  }
+
+  test("distributed greedy separator: validity + no-worse on fixtures") {
+    for (e <- Seq(Fixtures.grid4x4, Fixtures.twoCliques, Fixtures.zipf(120))) {
+      val vids = Fixtures.vertsOf(e)
+      val vw = vertsDf(vids).withColumn("vwgt", lit(1L))
+      val where0 = NestedDissection.vertexSeparator(spark, edgesDf(e),
+        vertsDf(vids))
+      val sep0 = where0.filter(col("side") === 2).count()
+      val out = graft.partitioner.SeparatorRefine
+        .refineGreedyDist(spark, edgesDf(e), where0, vw)
+        .collect().map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+      assert(out.keySet == vids.toSet, "totality")
+      assert(out.values.count(_ == 2) <= sep0,
+        s"separator grew: ${out.values.count(_ == 2)} > $sep0")
+      val bad = e.filter { case (s, d, _) =>
+        (out(s) == 0 && out(d) == 1) || (out(s) == 1 && out(d) == 0) }
+      assert(bad.isEmpty, s"uncovered A-B edges: $bad")
+    }
+  }
+
   test("separator FM: never worse than the cover on fixtures") {
     for (e <- Seq(Fixtures.grid4x4, Fixtures.twoCliques, Fixtures.zipf(120))) {
       val vids = Fixtures.vertsOf(e)
