@@ -34,13 +34,14 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    // scaling's extra-fork hunt must never push the whole bench past the
-    // driver's 3600 s timeout: the deadline is checked BEFORE launching an
-    // extra fork pair, and a pair at the 3M-conv default graph is ~5.5 min
-    // quiet / ~8 min noisy — leave enough margin for one full worst-case
-    // pair plus JSON emit and sbt teardown
+    // scaling's fork hunt must never push the whole bench past the
+    // driver's 3600 s timeout. Launch decisions are duration-aware (a leg
+    // is launched only if it is predicted to FINISH before this deadline,
+    // from the worst leg wall observed so far — Scaling.pairForked), so
+    // the deadline itself can sit close to the timeout: 3250 s leaves
+    // ~350 s for sbt startup, the JSON emit, and teardown
     sys.props("graft.scale.deadline.ms") =
-      (System.currentTimeMillis() + 2950L * 1000).toString
+      (System.currentTimeMillis() + 3250L * 1000).toString
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
