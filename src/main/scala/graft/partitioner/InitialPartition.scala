@@ -250,6 +250,147 @@ object InitialPartition {
     where
   }
 
+  /** Serial k-way hill-scanning (R2 serial mirror — reference
+    * S_par_kwayrefine_HS src/kwayrefine.c:1217-1550, hill gain identity
+    * :599-772): a connected same-part set H of individually-stuck boundary
+    * vertices may still move TOGETHER with positive combined gain
+    *   jgain(H→p) = Σ_{v∈H} conn_v(p) − (Σ_{v∈H} conn_v(home) − 2·w(E⊆H))
+    * (edges inside H stay internal when the whole hill moves). Hills grow
+    * from each stuck seed along the heaviest connection into the hill
+    * (maximizing the refund) up to `hillSize`; the first feasible positive
+    * target wins. Single-vertex greedy cannot escape these configurations —
+    * on hub-heavy graphs they are the difference between the serial tail's
+    * local optimum and the distributed BSP+hills chain it replaces.
+    * Mutates `where`; returns true if any hill moved.
+    */
+  private[partitioner] def hillSweepK(g: LocalGraph, k: Int,
+                                      where: Array[Int], ubFactor: Double,
+                                      targets: Array[Double] = null,
+                                      hillSize: Int = 16): Boolean = {
+    val ncon = g.ncon
+    val tgt = if (targets != null) targets else uniform(k)
+    val (maxW, minW) = bounds(g, k, tgt, ubFactor)
+    val pwgt = new Array[Long](k * ncon)
+    for (i <- where.indices; c <- 0 until ncon)
+      pwgt(where(i) * ncon + c) += g.w(i, c)
+    val n = g.nvtxs
+    val conn = new Array[Long](k)
+    def connOf(v: Int): Unit = {
+      java.util.Arrays.fill(conn, 0L)
+      var j = g.xadj(v)
+      while (j < g.xadj(v + 1)) {
+        conn(where(g.adjncy(j))) += g.adjwgt(j); j += 1
+      }
+    }
+    val inHill = new Array[Boolean](n)
+    val moved = new Array[Boolean](n)
+    var movedAny = false
+    val hconn = new Array[Long](k) // Σ conn_v(p) over hill members
+    val hw = new Array[Long](ncon) // hill weight per constraint
+    // candidate map u → w(u→hill), maintained INCREMENTALLY as members are
+    // absorbed (one adjacency scan per member) — recomputing w(u→hill) per
+    // growth step per candidate is quadratic in hub degree and stalls on
+    // dense levels
+    val cand = new mutable.LongMap[Long]()
+    var seed = 0
+    while (seed < n) {
+      val from = where(seed)
+      if (!moved(seed) && !inHill(seed)) {
+        connOf(seed)
+        var bestExt = 0L
+        var ext = 0L
+        var p = 0
+        while (p < k) {
+          if (p != from) { ext += conn(p); if (conn(p) > bestExt) bestExt = conn(p) }
+          p += 1
+        }
+        // stuck boundary seed: external edges, no positive single move
+        if (ext > 0 && bestExt <= conn(from)) {
+          val hill = scala.collection.mutable.ArrayBuffer(seed)
+          inHill(seed) = true
+          System.arraycopy(conn, 0, hconn, 0, k)
+          var c = 0
+          while (c < ncon) { hw(c) = g.w(seed, c); c += 1 }
+          var intW = 0L // edge weight inside the hill
+          cand.clear()
+          def absorb(v: Int): Unit = {
+            var j = g.xadj(v)
+            while (j < g.xadj(v + 1)) {
+              val u = g.adjncy(j)
+              if (!inHill(u) && !moved(u) && where(u) == from)
+                cand(u) = cand.getOrElse(u.toLong, 0L) + g.adjwgt(j)
+              j += 1
+            }
+            cand.remove(v.toLong)
+            ()
+          }
+          absorb(seed)
+          def jgain(p: Int): Long = hconn(p) - (hconn(from) - 2L * intW)
+          def feasible(p: Int): Boolean = {
+            var c = 0
+            while (c < ncon) {
+              if (pwgt(p * ncon + c) + hw(c) > maxW(p * ncon + c)) return false
+              if (pwgt(from * ncon + c) - hw(c) < minW(from * ncon + c))
+                return false
+              c += 1
+            }
+            true
+          }
+          def bestTarget: Int = {
+            var b = -1; var bg = 0L; var p = 0
+            while (p < k) {
+              if (p != from && jgain(p) > bg && feasible(p)) { b = p; bg = jgain(p) }
+              p += 1
+            }
+            b
+          }
+          var target = bestTarget
+          var grown = true
+          while (target < 0 && hill.size < hillSize && grown) {
+            // heaviest same-part connection into the hill (the refund)
+            var best = -1
+            var bestW = 0L
+            cand.foreachEntry { (uL, w) =>
+              val u = uL.toInt
+              if (!moved(u) && !inHill(u) &&
+                  (w > bestW || (w == bestW && (best < 0 || u < best)))) {
+                best = u; bestW = w
+              }
+            }
+            if (best < 0) grown = false
+            else {
+              connOf(best)
+              var p = 0
+              while (p < k) { hconn(p) += conn(p); p += 1 }
+              var c = 0
+              while (c < ncon) { hw(c) += g.w(best, c); c += 1 }
+              intW += bestW
+              hill += best
+              inHill(best) = true
+              absorb(best)
+              target = bestTarget
+            }
+          }
+          if (target >= 0) {
+            hill.foreach { h =>
+              var c = 0
+              while (c < ncon) {
+                pwgt(from * ncon + c) -= g.w(h, c)
+                pwgt(target * ncon + c) += g.w(h, c)
+                c += 1
+              }
+              where(h) = target
+              moved(h) = true
+            }
+            movedAny = true
+          } else hill.foreach(h => inHill(h) = false) // free for other hills
+        }
+      }
+      seed += 1
+    }
+    movedAny
+  }
+
   /** Best-of-N seeded solves by cut (reference ninitsolutions=8,
     * src/ctrl.c:41, min-reduce src/initpart.c:70-77). `targets` = per-part
     * weight fractions (reference tpwgts), default uniform.

@@ -44,17 +44,26 @@ object Matching {
 
   /** Multi-constraint entry point: vertices(vid, vwgts array<bigint>),
     * one cap per constraint.
+    *
+    * `symIn`/`degIn`: caller-shared level state — the symmetrized adjacency
+    * repartitioned by src (persisted by the caller) and the degree table.
+    * The M5 dispatch tries up to four schemes per stalled level
+    * (SHEM → RM → 2-hop → FC); without sharing, every attempt re-shuffles
+    * and re-persists the full E-sized adjacency and re-aggregates degrees
+    * (measured: ~30–40% of a stalled level's matching wall).
     */
   def cmapMC(edges: DataFrame, vertices: DataFrame, caps: Array[Long],
              rounds: Int = 2, scheme: Scheme = SHEM,
-             seed: Long = 42L, nVerts: Long = -1L): DataFrame = {
+             seed: Long = 42L, nVerts: Long = -1L,
+             symIn: DataFrame = null, degIn: DataFrame = null): DataFrame = {
     val ncon = caps.length
     // V-sized state (unmatched set, proposals, matched vids) broadcasts
     // against the E-sized adjacency when |V| is under the dimSide
     // threshold — each handshake round is then a map-only edge scan; sym
     // is partitioned by src so the proposal groupBy needs no exchange
     def dim(df: DataFrame): DataFrame = GraphOps.dimSide(df, nVerts)
-    val deg = GraphOps.degrees(edges).select(col("vid"), col("deg"))
+    val deg = (if (degIn != null) degIn else GraphOps.degrees(edges))
+      .select(col("vid"), col("deg"))
     val vw = vertices.select(col("vid"), col("vwgts"))
     var unmatched = vw.join(deg, Seq("vid"), "left")
       .select(col("vid"), col("vwgts"), coalesce(col("deg"), lit(0L)).as("deg"))
@@ -63,7 +72,10 @@ object Matching {
     // Catalyst's Union constraint rewrite in Spark 4)
     var pairs = unmatched.sparkSession
       .createDataFrame(Seq.empty[(Long, Long)]).toDF("u", "v")
-    val sym = GraphOps.symmetrize(edges).repartition(col("src")).persist()
+    val ownSym = symIn == null
+    val sym =
+      if (ownSym) GraphOps.symmetrize(edges).repartition(col("src")).persist()
+      else symIn
 
     // eligibility: combined weight under the cap for EVERY constraint (P7)
     def capOk: Column = (0 until ncon).map { c =>
@@ -120,7 +132,8 @@ object Matching {
     // spill-level: the cmap is LEVEL STATE — held until uncoarsening, read
     // a handful of times; serialized rows keep the level stack small on heap
     val out = graft.plans.Plans.checkpointSpill(matchedMap.unionByName(selfMap))
-    sym.unpersist(); unmatched.unpersist()
+    if (ownSym) sym.unpersist()
+    unmatched.unpersist()
     graft.plans.Plans.unpersist(pairs)
     out
   }
@@ -139,9 +152,11 @@ object Matching {
     * Returns pairs (u, v) with u < v.
     */
   def matchLeaves(edges: DataFrame, vertices: DataFrame, maxVwgt: Long,
-                  eligible: Option[DataFrame] = None): DataFrame = {
-    val deg = GraphOps.degrees(edges).select(col("vid"), col("deg"))
-    val leaves0 = GraphOps.symmetrize(edges)
+                  eligible: Option[DataFrame] = None,
+                  symIn: DataFrame = null, degIn: DataFrame = null): DataFrame = {
+    val deg = (if (degIn != null) degIn else GraphOps.degrees(edges))
+      .select(col("vid"), col("deg"))
+    val leaves0 = (if (symIn != null) symIn else GraphOps.symmetrize(edges))
       .join(deg.filter(col("deg") === 1).select(col("vid").as("src")), "src")
       .select(col("src").as("leaf"), col("dst").as("parent"))
       .join(vertices.select(col("vid").as("leaf"), col("vwgt")), "leaf")
@@ -173,8 +188,10 @@ object Matching {
     */
   def matchTwins(edges: DataFrame, vertices: DataFrame, maxVwgt: Long,
                  maxDeg: Long = 64L,
-                 eligible: Option[DataFrame] = None): DataFrame = {
-    val sigs0 = GraphOps.symmetrize(edges).repartition(col("src"))
+                 eligible: Option[DataFrame] = None,
+                 symIn: DataFrame = null): DataFrame = {
+    val sigs0 = (if (symIn != null) symIn
+      else GraphOps.symmetrize(edges).repartition(col("src")))
       .groupBy(col("src").as("vid"))
       .agg(md5(concat_ws(",", transform(
         sort_array(collect_list(col("dst"))), d => d.cast("string"))))
@@ -208,7 +225,8 @@ object Matching {
     * partner (coarse = min of the pair, the [[cmapMC]] contract).
     */
   def augment2Hop(edges: DataFrame, vertices: DataFrame, cmap: DataFrame,
-                  cap: Long, maxDeg: Long = 64L): DataFrame = {
+                  cap: Long, maxDeg: Long = 64L,
+                  symIn: DataFrame = null, degIn: DataFrame = null): DataFrame = {
     // Self-matched = coarse group of size 1. `vid === coarse` is NOT
     // equivalent: cmapMC emits (u,u),(v,u) for a matched pair u<v, so the
     // pair's min member also satisfies vid === coarse; re-pointing it at a
@@ -219,10 +237,10 @@ object Matching {
       .select(col("coarse").as("vid"))
     val vw = vertices.select(col("vid"),
       element_at(col("vwgts"), 1).as("vwgt"))
-    val leafP = matchLeaves(edges, vw, cap, Some(selfies))
+    val leafP = matchLeaves(edges, vw, cap, Some(selfies), symIn, degIn)
     val leafV = leafP.select(col("u").as("vid"))
       .unionByName(leafP.select(col("v").as("vid")))
-    val twinP = matchTwins(edges, vw, cap, maxDeg, Some(selfies))
+    val twinP = matchTwins(edges, vw, cap, maxDeg, Some(selfies), symIn)
       .join(leafV.withColumnRenamed("vid", "u"), Seq("u"), "left_anti")
       .join(leafV.withColumnRenamed("vid", "v"), Seq("v"), "left_anti")
     val upd = leafP.unionByName(twinP)

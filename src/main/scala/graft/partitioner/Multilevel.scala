@@ -73,6 +73,8 @@ object Multilevel {
                   serialRefineThreshold: Long = 4096L,
                   serialGraphVertices: Long = 50000L,
                   serialGraphEdges: Long = 2000000L,
+                  serialTailVertices: Long = 200000L,
+                  serialTailEdges: Long = 8000000L,
                   ckpt: Option[Checkpointer] = None): PartitionResult = {
     val tgt = if (targets != null) targets else Array.fill(k)(1.0 / k)
     val coarsenTo = if (coarsenTo0 > 0) coarsenTo0 else math.max(30 * k, 200)
@@ -96,7 +98,8 @@ object Multilevel {
     // the graph is small, src/imetis.c:147-223): a distributed V-cycle on a
     // gatherable graph is pure scheduling overhead — collect once, solve in
     // the driver, parallelize only the result
-    if (nAll <= serialGraphVertices && allEdges.count() <= serialGraphEdges)
+    val eAll = allEdges.count()
+    if (nAll <= serialGraphVertices && eAll <= serialGraphEdges)
       return partitionSerialWhole(spark, allEdges, allVerts, k, ncon, ubFactor,
         coarsenTo, stopRatio, seed, nRuns, tgt, ckpt)
     // F4: degree-0 islands skip the V-cycle entirely
@@ -105,6 +108,17 @@ object Multilevel {
     var vertices = connected0.select(col("vid"), col("vwgts"))
       .ckptSpill()
     var nvtxs = vertices.count()
+    var nedges = eAll
+    // serial-tail dispatch bound (reference: serial FM/METIS below a size
+    // threshold, src/eseprefine.c:1060-1097, src/imetis.c:147-223): once a
+    // level is gatherable, EVERY remaining distributed level is pure
+    // scheduling overhead — measured at 26.5M edges, the sub-tail levels
+    // cost ~136 s of the 487 s V-cycle for work a driver-side solve does in
+    // seconds. Tail bounds are wider than the whole-graph dispatch bounds
+    // (the collect is a one-off, not the whole job); serialGraphVertices=0
+    // (the force-distributed override) disables the tail too.
+    val tailV = if (serialGraphVertices <= 0) 0L else serialTailVertices
+    val tailE = if (serialGraphEdges <= 0) 0L else serialTailEdges
     def wc(c: Int) = element_at(col("vwgts"), c + 1)
     val tvCols = (0 until ncon).map(c => sum(wc(c)).as(s"t$c"))
     val tvAll = allVerts.agg(tvCols.head, tvCols.tail: _*).head()
@@ -118,26 +132,49 @@ object Multilevel {
     var levelSeed = seed
     val tStart = System.nanoTime()
     def elapsed: String = f"${(System.nanoTime() - tStart) / 1e9}%.0fs"
-    while (nvtxs > coarsenTo && shrinking) {
+    while (nvtxs > coarsenTo && shrinking &&
+           !(nvtxs <= tailV && nedges <= tailE)) {
       System.err.println(
-        s"[mlevel] coarsen level ${levels.size}: nvtxs=$nvtxs t=$elapsed")
-      var cmap = Matching.cmapMC(edges, vertices, caps, nVerts = nvtxs)
+        s"[mlevel] coarsen level ${levels.size}: nvtxs=$nvtxs " +
+          s"nedges=$nedges t=$elapsed")
+      // per-phase wall clocks (stderr diagnostics; the scale profile of a
+      // multi-hour V-cycle is unreadable without them)
+      var tMark = System.nanoTime()
+      def lap(): Double = {
+        val now = System.nanoTime()
+        val d = (now - tMark) / 1e9; tMark = now; d
+      }
+      // level-shared adjacency state: the symmetrized edge table
+      // (partitioned by src) and the degree table are reused by every
+      // matching scheme the M5 dispatch tries at this level — without
+      // sharing, a stalled level re-shuffles and re-persists the E-sized
+      // adjacency up to four times (SHEM, RM, 2-hop, FC)
+      val symL = GraphOps.symmetrize(edges).repartition(col("src")).persist()
+      val degL = symL.groupBy(col("src").as("vid"))
+        .agg(count(lit(1)).as("deg"), sum(col("wgt")).as("wdeg")).persist()
+      var cmap = Matching.cmapMC(edges, vertices, caps, nVerts = nvtxs,
+        symIn = symL, degIn = degL)
       // P4: SHEM ineffective (self-matched ratio >= 1/3) -> rerun with RM
       val paired = cmap.filter(col("vid") =!= col("coarse")).count()
+      val tShem = lap()
+      var tRm = 0.0; var tHop = 0.0; var tFc = 0.0
       if (nvtxs - 2 * paired >= nvtxs / 3) {
         val rm = Matching.cmapMC(edges, vertices, caps,
-          scheme = Matching.RM, seed = levelSeed, nVerts = nvtxs)
+          scheme = Matching.RM, seed = levelSeed, nVerts = nvtxs,
+          symIn = symL, degIn = degL)
         val rmPaired = rm.filter(col("vid") =!= col("coarse")).count()
         // release the losing cmap — superseded checkpoints never evict
         if (rmPaired > paired) {
           graft.plans.Plans.unpersist(cmap); cmap = rm
         } else graft.plans.Plans.unpersist(rm)
+        tRm = lap()
         // still stalled after RM -> 2-hop augmentation (leaf/twin pairs,
         // the star/hub shape neither edge-matching scheme can coarsen)
         val best = math.max(paired, rmPaired)
         if (nvtxs - 2 * best >= nvtxs / 3) {
           val pre2hop = cmap
-          cmap = Matching.augment2Hop(edges, vertices, cmap, caps(0))
+          cmap = Matching.augment2Hop(edges, vertices, cmap, caps(0),
+            symIn = symL, degIn = degL)
           graft.plans.Plans.unpersist(pre2hop)
           // M3 fall-through (mirror of the reference's scheme selection,
           // src/aggregate.c:2018-2135): if even leaf/twin pairing leaves
@@ -146,6 +183,7 @@ object Multilevel {
           // clustering coarsens what 1-to-1 matching cannot
           val selfAfter = cmap.groupBy(col("coarse"))
             .agg(count(lit(1)).as("n")).filter(col("n") === 1).count()
+          tHop = lap()
           if (selfAfter >= nvtxs / 3) {
             graft.plans.Metrics.event("m3_clustering_dispatch",
               s"level ${levels.size}: $selfAfter/$nvtxs self-matched after " +
@@ -154,8 +192,10 @@ object Multilevel {
             cmap = Clustering.cmap(edges,
               vertices.select(col("vid"),
                 element_at(col("vwgts"), 1).as("vwgt")),
-              caps(0), seed = levelSeed)
+              caps(0), seed = levelSeed, symIn = symL,
+              earlyStopSingles = nvtxs / 8)
             graft.plans.Plans.unpersist(preFc)
+            tFc = lap()
           }
         }
       }
@@ -165,11 +205,17 @@ object Multilevel {
       val cEdges = ce.ckptSpill()
       val cVerts = cv.ckptSpill()
       val cn = cVerts.count()
+      val cne = cEdges.count()
+      symL.unpersist(); degL.unpersist() // level-shared state is dead
+      val tContract = lap()
+      System.err.println(f"[mlevel-prof] level=${levels.size} nvtxs=$nvtxs " +
+        f"shem=$tShem%.1fs rm=$tRm%.1fs hop2=$tHop%.1fs fc=$tFc%.1fs " +
+        f"contract=$tContract%.1fs")
       ckpt.foreach(c => c.write(s"mlevel_cmap_l${levels.size}", 0, cmap))
       shrinking = cn.toDouble / nvtxs <= stopRatio
       if (cn < nvtxs) {
         levels = Level(edges, vertices, cmap, nvtxs) :: levels
-        edges = cEdges; vertices = cVerts; nvtxs = cn
+        edges = cEdges; vertices = cVerts; nvtxs = cn; nedges = cne
       } else {
         shrinking = false
         graft.plans.Plans.unpersist(cEdges)
@@ -189,14 +235,30 @@ object Multilevel {
     val g = InitialPartition.fromEdgesMC(eArr, vArr, ncon)
     val finestEdges = if (levels.nonEmpty) levels.last.edges else edges
     val finestVerts = if (levels.nonEmpty) levels.last.vertices else vertices
+    // the coarsen loop stopped above coarsenTo: the gathered level still
+    // needs multilevel treatment — run the whole remaining tail (coarsen +
+    // init + refine back up) in the driver. Greedy growing alone on a
+    // 200k-vertex graph is NOT an initial partitioner (P10 assumes the
+    // coarsest graph); the serial V-cycle is
+    val serialTail = nvtxs > coarsenTo
+    var tailLevels = 0
 
     // P11 best-of-nruns over the init+uncoarsen phase (coarsening is
     // deterministic and shared)
     var bestAssign: DataFrame = null
     var bestCut = Long.MaxValue
     for (run <- 0 until nRuns) {
-      val where0 = InitialPartition.partition(g, k, ubFactor, 8,
-        seed + 7919L * run, targets = tgt)
+      val where0 =
+        if (serialTail) {
+          // best-of-4 tail solves: the serial V-cycle costs seconds where
+          // the distributed levels it replaces cost minutes — spend some of
+          // that budget buying back init variance
+          val (w, nl) = SerialMultilevel.partition(g, k, ubFactor, coarsenTo,
+            stopRatio, seed + 7919L * run, 4, tgt)
+          tailLevels = nl
+          w
+        } else InitialPartition.partition(g, k, ubFactor, 8,
+          seed + 7919L * run, targets = tgt)
       var assign = spark.createDataFrame(
         g.vids.zip(where0).toSeq.map { case (v, p) => (v, p) }
       ).toDF("vid", "part").ckpt()
@@ -209,6 +271,7 @@ object Multilevel {
         levelIdx -= 1
         System.err.println(s"[mlevel] uncoarsen run=$run level=$levelIdx: " +
           s"nvtxs=${lvl.nvtxs} t=$elapsed")
+        val tLvl = System.nanoTime()
         // J4 projection join: fine inherits coarse part through cmap
         val projected = lvl.cmap
           .join(GraphOps.dimSide(assign.withColumnRenamed("vid", "coarse"),
@@ -227,6 +290,9 @@ object Multilevel {
             nVerts = lvl.nvtxs)
         // refine returned its own checkpoint; the projection is dead
         graft.plans.Plans.unpersist(projected)
+        System.err.println(f"[mlevel-prof] uncoarsen run=$run " +
+          f"level=$levelIdx nvtxs=${lvl.nvtxs} " +
+          f"refine=${(System.nanoTime() - tLvl) / 1e9}%.1fs")
         ckpt.foreach(c => c.write(s"mlevel_assign_r${run}_l$levelIdx", 0,
           assign, GraphOps.edgeCut(lvl.edges, assign, lvl.nvtxs).toDouble))
       }
@@ -248,7 +314,7 @@ object Multilevel {
     val cut = GraphOps.edgeCut(finestEdges, fullAssign)
     val scalarVerts = allVerts.select(col("vid"), wc(0).as("vwgt"))
     val imb = imbalanceTargets(fullAssign, scalarVerts, tgt, tv(0))
-    PartitionResult(fullAssign.ckpt(), cut, imb, levels.size)
+    PartitionResult(fullAssign.ckpt(), cut, imb, levels.size + tailLevels)
   }
 
   /** Whole-graph serial dispatch: gather the (small) graph, run the entire

@@ -73,7 +73,9 @@ object Refinement {
   def refineMC(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
                assign0: DataFrame, k: Int, ubFactor: Double = 1.03,
                passes: Int = 8, ncon: Int = 1,
-               targets: Array[Double] = null, nVerts: Long = -1L): DataFrame = {
+               targets: Array[Double] = null, nVerts: Long = -1L,
+               minImpFrac: Double = 5e-4,
+               hillMaxVerts: Long = 100000L): DataFrame = {
     val tgt = if (targets != null) targets else Array.fill(k)(1.0 / k)
     require(tgt.length == k, s"targets length ${tgt.length} != k=$k")
     if (vertices.isEmpty) return assign0
@@ -423,23 +425,38 @@ object Refinement {
     var pass = 0
     var improved = true
     while (pass < passes && improved) {
+      val tPass = System.nanoTime()
       val in = cur
       cur = onePass(in)
       if (in ne best) graft.plans.Plans.unpersist(in)
       val (cut, imb) = cutAndImbalance(cur)
-      improved = cut < bestCut && imb <= ubFactor + 1e-9
-      if (improved) {
+      val better = cut < bestCut && imb <= ubFactor + 1e-9
+      // convergence stop: keep ANY improvement, but only spend another
+      // full-edge-scan pass when this one beat the relative floor
+      // (measured: passes 2–6 at the finest level bought 0.06% of cut for
+      // ~20 s; the reference's serial pass costs ~nothing, ours is 3 edge
+      // scans)
+      improved = better && cut + (bestCut * minImpFrac).toLong < bestCut
+      if (better) {
         val oldBest = best
         bestCut = cut; best = cur
         if (oldBest ne cur) graft.plans.Plans.unpersist(oldBest)
       }
+      System.err.println(f"[refine] pass=$pass nV=$nV cut=$cut " +
+        f"imb=$imb%.4f t=${(System.nanoTime() - tPass) / 1e9}%.1fs")
       pass += 1
     }
     if (cur ne best) graft.plans.Plans.unpersist(cur)
     // hill rounds once greedy stalls (the reference runs HS when the greedy
     // pass stops improving): one round per direction — move jointly-
-    // profitable hills, then one greedy clean-up pass around the moved hills
-    for (hsPhase <- 0 to 1) {
+    // profitable hills, then one greedy clean-up pass around the moved
+    // hills. Bounded to levels ≤ hillMaxVerts: each hill phase costs ~6
+    // edge scans plus per-round cluster joins, and at the two finest levels
+    // of the 26.5M-edge profile the 40.7 s spent bought 0.003% of cut —
+    // fine-level boundaries are greedy-converged; hills earn their keep on
+    // the coarse levels where moves are coupled (and cost ~nothing there)
+    for (hsPhase <- 0 to 1 if nV <= hillMaxVerts) {
+      val tHill = System.nanoTime()
       hillMoves(best, hsPhase).foreach { afterHills =>
         val next = onePass(afterHills)
         graft.plans.Plans.unpersist(afterHills)
@@ -450,6 +467,8 @@ object Refinement {
           graft.plans.Plans.unpersist(oldBest)
         } else graft.plans.Plans.unpersist(next)
       }
+      System.err.println(f"[refine] hills phase=$hsPhase nV=$nV " +
+        f"t=${(System.nanoTime() - tHill) / 1e9}%.1fs")
     }
     sym.unpersist(); vw.unpersist()
     best

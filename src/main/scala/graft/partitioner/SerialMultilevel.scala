@@ -74,6 +74,98 @@ object SerialMultilevel {
     mtch
   }
 
+  /** Sequential first-choice clustering fall-through on a stalled match
+    * (M3 serial mirror — the reference's FC sweep IS sequential,
+    * src/aggregate.c:1608-1837): every still-singleton vertex joins the
+    * neighbor CLUSTER with the best `ceil(cwgt/sqrt(twgt))` score under
+    * the per-constraint cap (ties: lighter cluster, then lower root id).
+    * Matching alone cannot coarsen hub-and-spoke shapes past ~2x — without
+    * this the serial tail stops shrinking early and the initial partition
+    * runs on a graph far above coarsenTo (measured: +1.7% final cut).
+    * Returns a cluster label per vertex (label = some member's index).
+    */
+  private def fcAugment(g: LocalGraph, caps: Array[Long], mtch: Array[Int],
+                        seed: Long): Array[Int] = {
+    val n = g.nvtxs
+    val lbl = Array.tabulate(n)(v => math.min(v, mtch(v)))
+    val cw = new Array[Long](n * g.ncon)
+    val members = new Array[Int](n)
+    var v = 0
+    while (v < n) {
+      var c = 0
+      while (c < g.ncon) { cw(lbl(v) * g.ncon + c) += g.w(v, c); c += 1 }
+      members(lbl(v)) += 1
+      v += 1
+    }
+    val rnd = new Random(seed)
+    val salt = Array.fill(n)(rnd.nextInt())
+    val deg = Array.tabulate(n)(i => g.xadj(i + 1) - g.xadj(i))
+    val order = (0 until n).toArray
+    scala.util.Sorting.stableSort(order,
+      (a: Int, b: Int) => deg(a) < deg(b) ||
+        (deg(a) == deg(b) && salt(a) < salt(b)))
+    def fits(u: Int, root: Int): Boolean = {
+      var c = 0
+      while (c < g.ncon) {
+        if (cw(root * g.ncon + c) + g.w(u, c) > caps(c)) return false
+        c += 1
+      }
+      true
+    }
+    val conn = new scala.collection.mutable.LongMap[Long]()
+    var oi = 0
+    while (oi < n) {
+      val u = order(oi)
+      if (lbl(u) == u && members(u) == 1) {
+        conn.clear()
+        var j = g.xadj(u)
+        while (j < g.xadj(u + 1)) {
+          val r = lbl(g.adjncy(j))
+          if (r != u) conn(r) = conn.getOrElse(r.toLong, 0L) + g.adjwgt(j)
+          j += 1
+        }
+        var best = -1
+        var bestScore = Double.MinValue
+        var bestW = Long.MaxValue
+        conn.foreachEntry { (rL, cwgt) =>
+          val r = rL.toInt
+          if (fits(u, r)) {
+            val tw = math.max(1L, cw(r * g.ncon))
+            val score = math.ceil(cwgt.toDouble / math.sqrt(tw.toDouble))
+            if (score > bestScore || (score == bestScore &&
+                (tw < bestW || (tw == bestW && (best == -1 || r < best))))) {
+              best = r; bestScore = score; bestW = tw
+            }
+          }
+        }
+        if (best >= 0) {
+          members(best) += 1; members(u) = 0
+          var c = 0
+          while (c < g.ncon) { cw(best * g.ncon + c) += g.w(u, c); c += 1 }
+          lbl(u) = best
+        }
+      }
+      oi += 1
+    }
+    lbl
+  }
+
+  /** Contract an arbitrary cluster labeling (label = member index):
+    * returns (coarse graph, fine→coarse index).
+    */
+  private def contractLabels(g: LocalGraph, lbl: Array[Int]): (LocalGraph, Array[Int]) = {
+    val n = g.nvtxs
+    val rootIdx = Array.fill(n)(-1)
+    var cn = 0
+    var v = 0
+    while (v < n) {
+      if (rootIdx(lbl(v)) == -1) { rootIdx(lbl(v)) = cn; cn += 1 }
+      v += 1
+    }
+    val cmap = Array.tabulate(n)(v => rootIdx(lbl(v)))
+    contractCmap(g, cmap, cn)
+  }
+
   /** Contract matched pairs: returns (coarse graph, fine→coarse index). */
   private def contract(g: LocalGraph, mtch: Array[Int]): (LocalGraph, Array[Int]) = {
     val n = g.nvtxs
@@ -88,8 +180,15 @@ object SerialMultilevel {
       }
       v += 1
     }
+    contractCmap(g, cmap, cn)
+  }
+
+  /** Shared contraction body over a fine→coarse index map. */
+  private def contractCmap(g: LocalGraph, cmap: Array[Int],
+                           cn: Int): (LocalGraph, Array[Int]) = {
+    val n = g.nvtxs
     val cvw = new Array[Long](cn * g.ncon)
-    v = 0
+    var v = 0
     while (v < n) {
       var c = 0
       while (c < g.ncon) { cvw(cmap(v) * g.ncon + c) += g.w(v, c); c += 1 }
@@ -145,14 +244,26 @@ object SerialMultilevel {
     while (cur.nvtxs > coarsenTo && shrinking) {
       var m = shemMatch(cur, caps, lvlSeed, random = false)
       // P4: SHEM ineffective (self-matched ≥ ⅓) → try RM, keep the better
-      val paired = m.indices.count(v => m(v) != v) / 2
-      if (cur.nvtxs - 2 * paired >= cur.nvtxs / 3) {
+      var paired = m.indices.count(v => m(v) != v) / 2
+      var stalled = cur.nvtxs - 2 * paired >= cur.nvtxs / 3
+      if (stalled) {
         val rm = shemMatch(cur, caps, lvlSeed + 101, random = true)
         val rmPaired = rm.indices.count(v => rm(v) != v) / 2
-        if (rmPaired > paired) m = rm
+        if (rmPaired > paired) { m = rm; paired = rmPaired }
+        stalled = cur.nvtxs - 2 * paired >= cur.nvtxs / 3
       }
       lvlSeed += 1
-      val (cg, cmap) = contract(cur, m)
+      // M3 fall-through, mirroring [[Multilevel]]'s dispatch: still-stalled
+      // levels coarsen by many-to-one FC clustering instead of 1-to-1
+      // pairs. Single-constraint only: many-to-one clusters are lumpy in
+      // the secondary constraints, and the coarsest-level integrality slack
+      // they cost is exactly what multi-constraint balance cannot spare
+      // (the reference likewise never combines clustering with
+      // multi-constraint, src/aggregate.c:1614)
+      val (cg, cmap) =
+        if (stalled && g.ncon == 1)
+          contractLabels(cur, fcAugment(cur, caps, m, lvlSeed + 202))
+        else contract(cur, m)
       shrinking = cg.nvtxs.toDouble / cur.nvtxs <= stopRatio
       if (cg.nvtxs < cur.nvtxs) {
         levels = (cur, cmap) :: levels
@@ -165,6 +276,15 @@ object SerialMultilevel {
     for (run <- 0 until nRuns) {
       var where = InitialPartition.partition(cur, k, ubFactor, 8,
         seed + 7919L * run, targets = tgt)
+      // hills at the COARSEST graph only (free at ≤ coarsenTo vertices,
+      // where single moves are coarsest-grained and most often stuck).
+      // Measured at 26.5M edges: per-LEVEL serial hills in this loop cost
+      // ~9 min of driver time across the best-of-4 solves AND ended 3%
+      // worse — hill+clean-up chains pin the tail at the balance cap,
+      // starving the finer distributed refinement of feasible moves.
+      if (InitialPartition.hillSweepK(cur, k, where, ubFactor, tgt))
+        where = InitialPartition.refineGreedy(cur, k, where, ubFactor,
+          targets = tgt)
       for ((fg, cmap) <- levels) {
         val projected = Array.tabulate(fg.nvtxs)(v => where(cmap(v)))
         where = InitialPartition.refineGreedy(fg, k, projected, ubFactor,
