@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scaling-efficiency estimator is the round's gate statistic — pin its
+  * math down without a SparkSession: median, the per-fork
+  * min-of-trial-medians regrouping, and PairResult's robust/wall/capped
+  * efficiency selection (protocol doc: BASELINE.md "Scaling measurement
+  * protocol").
+  */
+class ScalingStatsSpec extends AnyFunSuite {
+  import Scaling.{RunResult, PairResult}
+
+  test("median: odd, even, empty") {
+    assert(Scaling.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Scaling.median(Seq(4.0, 1.0, 3.0, 2.0)) == 2.5)
+    assert(Scaling.median(Nil).isNaN)
+  }
+
+  test("iterMedianMs regroups samples by trial and takes min of trial medians") {
+    // 3 trials x 3 iters; trial medians 20, 700, 30 -> a single clean trial
+    // (the first) must win even when later trials are noise-buried
+    val r = RunResult(cpus = 4, vertices = 10, edges = 10, iters = 3,
+      seconds = 1.0, trialSecs = Seq(1.0, 2.0, 3.0),
+      iterMs = Seq(10, 20, 1000, 650, 700, 800, 25, 30, 40))
+    assert(r.iterMedianMs == 20.0)
+  }
+
+  test("iterMedianMs is NaN without samples; teps/itersPerSec from wall") {
+    val r = RunResult(4, 100, 1000, 10, 2.0)
+    assert(r.iterMedianMs.isNaN)
+    assert(r.itersPerSec == 5.0)
+    assert(r.teps == 2.0 * 1000 * 10 / 2.0)
+  }
+
+  private def fork(cpus: Int, iters: Int, ms: Seq[Double], wall: Double) =
+    RunResult(cpus, 10, 10, iters, wall, Seq(wall), ms)
+
+  test("effRobust = (medLo/medHi)/(cpusHi/cpusLo), min over forks per level") {
+    // lo forks: medians 400 and 380 -> 380; hi forks: 120 and 100 -> 100
+    val pr = PairResult(
+      loForks = Seq(fork(4, 3, Seq(400, 400, 400), 1.2),
+                    fork(4, 3, Seq(380, 380, 380), 1.14)),
+      hiForks = Seq(fork(16, 3, Seq(120, 120, 120), 0.36),
+                    fork(16, 3, Seq(100, 100, 100), 0.30)),
+      cpusLo = 4, cpusHi = 16)
+    assert(math.abs(pr.effRobust - (380.0 / 100.0) / 4.0) < 1e-12)
+    assert(pr.eff == pr.effRobust)
+    assert(pr.effCapped == pr.eff) // 0.95 < 1: cap inert
+  }
+
+  test("effCapped caps super-unit ratios at 1.0 but eff keeps the raw value") {
+    val pr = PairResult(
+      loForks = Seq(fork(4, 3, Seq(500, 500, 500), 1.5)),
+      hiForks = Seq(fork(16, 3, Seq(100, 100, 100), 0.3)),
+      cpusLo = 4, cpusHi = 16)
+    assert(pr.eff == 1.25)
+    assert(pr.effCapped == 1.0)
+  }
+
+  test("eff falls back to wall ratio when per-iteration samples are absent") {
+    val pr = PairResult(
+      loForks = Seq(RunResult(4, 10, 10, 10, 8.0)),
+      hiForks = Seq(RunResult(16, 10, 10, 10, 2.5)),
+      cpusLo = 4, cpusHi = 16)
+    assert(pr.effRobust.isNaN)
+    assert(math.abs(pr.eff - (8.0 / 2.5) / 4.0) < 1e-12)
+    assert(math.abs(pr.effWall - pr.eff) < 1e-12)
+  }
+
+  test("json emits the headline, raw, wall and per-fork evidence fields") {
+    val pr = PairResult(
+      loForks = Seq(fork(4, 3, Seq(400, 400, 400), 1.2)),
+      hiForks = Seq(fork(16, 3, Seq(100, 100, 100), 0.3)),
+      cpusLo = 4, cpusHi = 16)
+    val j = Scaling.json(pr)
+    for (k <- Seq("scaling_efficiency", "scaling_efficiency_raw",
+        "wall_scaling_efficiency", "fork_iter_med_lo", "fork_iter_med_hi",
+        "trials_lo", "trials_hi", "iters_per_sec_lo", "iters_per_sec_hi",
+        "teps_lo", "teps_hi", "protocol"))
+      assert(j.contains("\"" + k + "\""), s"missing $k in $j")
+    // throughput must derive from the robust per-iteration estimate
+    assert(j.contains("\"iters_per_sec_lo\":2.500")) // 1000/400
+    assert(j.contains("\"iters_per_sec_hi\":10.000")) // 1000/100
+    assert(j.contains("\"scaling_efficiency\":1.000")) // raw 1.0 uncapped
+  }
+}
