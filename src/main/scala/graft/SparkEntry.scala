@@ -368,6 +368,23 @@ object SparkEntry {
       m.select((col("n_a") + col("n_b") + col("n_sep")).as("n_total"),
         col("violations"), (col("sep_weight") <= lit(sep0)).as("sep_no_worse"))
     },
+    // R4 flow family: SEGMENTED FM (SeparatorRefine.refineSfm, reference
+    // S_vseprefine_SFM src/vseprefine.c:2207-2285 / S_flow_SFM :771-1026)
+    // on the ND separator — pulled vertices flow onward instead of
+    // locking, the half of the reference's parallel-default SFG scheme the
+    // greedy pass lacks. Same hard gate: totality, zero violations,
+    // separator never heavier than its input (move-ordered rollback)
+    "q_vsep_sfm" -> { (s, d) =>
+      val e = EventsGraph.edges(s, d)
+      val v = EventsGraph.vertices(s, d)
+      val vw = v.withColumn("vwgt", lit(1L)).select(col("vid"), col("vwgt"))
+      val where0 = graft.partitioner.NestedDissection.vertexSeparator(s, e, v)
+      val sep0 = GraphOps.vsepMetrics(e, vw, where0).head().getLong(3)
+      val out = graft.partitioner.SeparatorRefine.refineSfm(s, e, where0, vw)
+      val m = GraphOps.vsepMetrics(e, vw, out)
+      m.select((col("n_a") + col("n_b") + col("n_sep")).as("n_total"),
+        col("violations"), (col("sep_weight") <= lit(sep0)).as("sep_no_worse"))
+    },
     // A10 internal/external vertex counts (par_graph_intext_vtx,
     // src/graph.c:3004-3042) under the deterministic pmod(vid, 4)
     // assignment — fully recomputable in SQL, so the METRIC itself is
@@ -657,6 +674,12 @@ object SparkEntry {
         |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)
         |SELECT n AS n_total, CAST(0 AS BIGINT) AS violations FROM n""".stripMargin,
     "q_vsep_flow" ->
+      """WITH n AS (
+        |  SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
+        |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)
+        |SELECT n AS n_total, CAST(0 AS BIGINT) AS violations,
+        |       TRUE AS sep_no_worse FROM n""".stripMargin,
+    "q_vsep_sfm" ->
       """WITH n AS (
         |  SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
         |       + (SELECT COUNT(DISTINCT event_type) FROM events) AS n)

@@ -47,15 +47,17 @@ object SeparatorRefine {
     val nGather = gatherIds.count()
     if (nGather > maxGather) {
       // never silent (repo rule): counted, and since round 4 the over-bound
-      // path gets the DISTRIBUTED greedy pass (S_flow_GREEDY re-expression)
-      // instead of returning unrefined — the gathered FM stays the
+      // path gets the reference's PARALLEL default scheme SFG (greedy
+      // flow passes, then segmented FM once the greedy has shrunk the
+      // separator back under the gather bound — ctrl.c:300-306 picks SFG
+      // for VSEP/ND whenever nthreads > 1). The gathered FM stays the
       // small-separator path (it sees negative-gain chains the one-sided
       // greedy cannot)
       graft.plans.Metrics.event("vsep_refine_dist_fallback",
         s"separator+frontier $nGather > maxGather $maxGather — " +
-          "running distributed greedy pass instead of gathered FM")
-      return refineGreedyDist(spark, edges, w, vwgt, ubFactor,
-        passes = math.max(passes, 4))
+          "running SFG (distributed greedy + gathered SFM) instead")
+      return refineSfg(spark, edges, w, vwgt, ubFactor, maxGather,
+        greedyPasses = math.max(passes, 4))
     }
     // global side weights (balance is whole-graph, not gathered-set)
     val sideWRows = w.join(vwgt, "vid").groupBy(col("side"))
@@ -203,6 +205,238 @@ object SeparatorRefine {
     if (!(w eq bestW)) graft.plans.Plans.unpersist(w)
     graft.plans.Plans.unpersist(sym)
     bestW
+  }
+
+  /** Segmented-FM separator refinement (reference S_vseprefine_SFM,
+    * src/vseprefine.c:2207-2285): alternating one-sided FLOW half-passes
+    * over the gathered separator region. Differs from [[refine]]'s FM in
+    * that pulled vertices are NOT locked — they re-enter the queue and may
+    * flow onward toward the same side (the "segmented" behaviour), which
+    * drains corridor-shaped separators the pull-and-lock FM cannot.
+    *
+    * Gather shape: SEP ∪ N(SEP) with COMPLETE adjacency (so their pulls
+    * and onward flows are exact), plus the 2-hop ring's sides/weights
+    * without adjacency — ring vertices can be pulled into the separator
+    * but never move out (a conservative narrowing; the shared-memory
+    * reference always has full adjacency). Balance is whole-graph: side
+    * weights come from one global aggregate, exactly like [[refine]].
+    *
+    * Over the `maxGather` bound the distributed greedy pass runs instead
+    * (when `fallbackToGreedy`; [[refineSfg]] disables that because it has
+    * already run the greedy pass).
+    */
+  def refineSfm(spark: SparkSession, edges: DataFrame, where: DataFrame,
+                vwgt: DataFrame, ubFactor: Double = 1.2,
+                maxGather: Long = 200000L, nrefpass: Int = 8,
+                hillSize: Int = 16, levelParity: Int = 0,
+                fallbackToGreedy: Boolean = true): DataFrame = {
+    val w = where.select(col("vid"), col("side")).ckpt()
+    val sepV = w.filter(col("side") === 2).select(col("vid"))
+    if (sepV.isEmpty) return w
+    val sym = GraphOps.symmetrize(edges).select(col("src"), col("dst"))
+    // movable set: SEP ∪ N(SEP), whose full adjacency is gathered
+    val movableIds = sepV.unionByName(
+        sym.join(sepV.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+          .select(col("dst").as("vid")))
+      .distinct().ckpt()
+    val gAdj = sym.join(movableIds.withColumnRenamed("vid", "src"),
+      Seq("src"), "left_semi")
+    val universe = movableIds
+      .unionByName(gAdj.select(col("dst").as("vid"))).distinct()
+    // bound BOTH the vertex and the edge gather (a dense frontier can
+    // carry maxGather² edges behind a small vertex count)
+    val nGather = universe.count()
+    val nAdjE = if (nGather > maxGather) Long.MaxValue else gAdj.count()
+    if (nGather > maxGather || nAdjE > 8L * maxGather) {
+      graft.plans.Plans.unpersist(movableIds)
+      graft.plans.Metrics.event("vsep_sfm_skipped",
+        s"SFM gather $nGather vtxs / $nAdjE edges > bound $maxGather" +
+          (if (fallbackToGreedy) " — running distributed greedy instead"
+           else " — keeping the greedy-refined labels"))
+      return if (fallbackToGreedy)
+        refineGreedyDist(spark, edges, w, vwgt, ubFactor,
+          passes = math.max(nrefpass, 4))
+      else w
+    }
+    // global side weights (balance is whole-graph, not gathered-set)
+    val sideW = Array.fill(3)(0L)
+    w.join(vwgt, "vid").groupBy(col("side")).agg(sum(col("vwgt")).as("sw"))
+      .collect().foreach(r => sideW(r.get(0).toString.toInt) = r.getLong(1))
+    val gathered = universe.join(w, "vid").join(vwgt, "vid")
+      .select(col("vid"), col("side"), col("vwgt")).collect()
+      .map(r => (r.getLong(0), r.get(1).toString.toInt, r.getLong(2)))
+      .sortBy(_._1)
+    val ids = gathered.map(_._1)
+    val idx = ids.zipWithIndex.toMap
+    val side = gathered.map(_._2)
+    val vw = gathered.map(_._3)
+    val movable = movableIds.collect().map(_.getLong(0)).toSet
+    val canMove = ids.map(movable.contains)
+    // adjacency symmetric within the gathered universe: a ring vertex's
+    // (partial) reverse adjacency is exactly its gathered neighbors, which
+    // is all the con-update loop ever needs (SEP ⊂ gathered)
+    val adjSets = Array.fill(ids.length)(
+      scala.collection.mutable.Set.empty[Int])
+    gAdj.collect().foreach { r =>
+      val a = idx(r.getLong(0)); val b = idx(r.getLong(1))
+      adjSets(a) += b; adjSets(b) += a
+    }
+    val adj = adjSets.map(_.toArray.sorted)
+    graft.plans.Plans.unpersist(movableIds)
+    val before = side.clone()
+    val tv = sideW.sum
+    val maxSide = math.ceil(ubFactor * tv / 2.0).toLong
+    sfm1s(side, vw, adj, canMove, sideW, maxSide, nrefpass, hillSize,
+      levelParity)
+    if (side.sameElements(before)) return w
+    val updated = spark.createDataFrame(
+        ids.toIndexedSeq.zipWithIndex.collect {
+          case (v, i) if side(i) != before(i) => (v, side(i)) })
+      .toDF("vid", "nside")
+    w.join(updated, Seq("vid"), "left")
+      .select(col("vid"),
+        coalesce(col("nside"), col("side")).cast("int").as("side"))
+  }
+
+  /** SFG — the reference's PARALLEL default scheme for vertex separators
+    * and nested dissection (ctrl.c:300-306 picks RTYPE_SFG whenever
+    * nthreads > 1; S_vseprefine_SFG, src/vseprefine.c:2373-2460): one
+    * greedy flow pass, then one SFM1S pass. Here: the distributed greedy
+    * ([[refineGreedyDist]], the any-size path) shrinks the separator,
+    * then the gathered SFM polishes it — by which point a huge separator
+    * has usually drained under the gather bound; if not, the greedy
+    * result stands (counted via `vsep_sfm_skipped`).
+    */
+  def refineSfg(spark: SparkSession, edges: DataFrame, where: DataFrame,
+                vwgt: DataFrame, ubFactor: Double = 1.2,
+                maxGather: Long = 200000L, greedyPasses: Int = 2,
+                hillSize: Int = 16): DataFrame = {
+    val g = refineGreedyDist(spark, edges, where, vwgt, ubFactor,
+      passes = greedyPasses)
+    refineSfm(spark, edges, g, vwgt, ubFactor, maxGather, nrefpass = 1,
+      hillSize = hillSize, fallbackToGreedy = false)
+  }
+
+  /** Alternating half-pass driver (S_pass_SFM1S, reference
+    * src/vseprefine.c:1227-1301): up to `2*nrefpass` one-sided flow
+    * half-passes, the first targeting the lighter side (ties broken by
+    * `levelParity` — :1252-1258), stopping after two consecutive empty
+    * half-passes. Arrays updated in place; returns total retained moves.
+    */
+  private[partitioner] def sfm1s(side: Array[Int], vw: Array[Long],
+      adj: Array[Array[Int]], canMove: Array[Boolean], sideW: Array[Long],
+      maxSide: Long, nrefpass: Int, hillSize: Int = 16,
+      levelParity: Int = 0): Int = {
+    val o = if (sideW(0) > sideW(1)) 1
+            else if (sideW(0) < sideW(1)) 0
+            else levelParity % 2
+    var total = 0; var nnone = 0; var d = 0
+    while (d < 2 * nrefpass && nnone < 2 && sideW(2) > 0) {
+      val s = (d + o) % 2
+      val nm = sfmFlow(side, vw, adj, canMove, sideW, s, maxSide, hillSize)
+      if (nm == 0) nnone += 1 else { total += nm; nnone = 0 }
+      d += 1
+    }
+    total
+  }
+
+  /** One-sided segmented-FM flow half-pass (S_flow_SFM, reference
+    * src/vseprefine.c:771-1026): pop separator vertices by gain toward the
+    * fixed side `s` (gain = w(v) − con_other(v)); a move pulls the
+    * mover's other-side neighbors into the separator, where they re-enter
+    * the queue and may flow onward to `s`; neighbors' gains are updated as
+    * the pulled weight leaves `other` (:929-946). Stops when the target
+    * side hits `maxSide` (:836-843) or `limit` consecutive moves fail to
+    * improve the (separator weight, |balance|) objective (:853-868), then
+    * rolls back to the best prefix in reverse move order (:1000-1026).
+    * Vertices with `!canMove` (gathered without adjacency) are pulled but
+    * never moved. Returns the number of RETAINED moves.
+    */
+  private[partitioner] def sfmFlow(side: Array[Int], vw: Array[Long],
+      adj: Array[Array[Int]], canMove: Array[Boolean], sideW: Array[Long],
+      s: Int, maxSide: Long, limit: Int): Int = {
+    val other = 1 - s
+    val n = side.length
+    // con(v) = Σ w of v's gathered neighbors currently on `other`
+    val con = new Array[Long](n)
+    def calcCon(v: Int): Unit = {
+      var c = 0L
+      adj(v).foreach(u => if (side(u) == other) c += vw(u))
+      con(v) = c
+    }
+    // lazy-deletion max-heap on (gain, -vid): stale entries are skipped on
+    // pop by comparing against curGain (the vw_pq with updates, serially)
+    val q = scala.collection.mutable.PriorityQueue
+      .empty[(Long, Int)](Ordering.by(p => (p._1, -p._2)))
+    val curGain = new Array[Long](n)
+    def push(v: Int): Unit = {
+      val g = vw(v) - con(v); curGain(v) = g; q.enqueue((g, v))
+    }
+    var i = 0
+    while (i < n) {
+      if (side(i) == 2 && canMove(i)) { calcCon(i); push(i) }
+      i += 1
+    }
+    // move log for rollback: (mover, vertices it pulled into SEP)
+    val moves = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
+    var minMove = 0
+    var curSep = sideW(2)
+    var minSep = curSep
+    var minBal = math.abs(sideW(0) - sideW(1))
+    var stop = false
+    while (!stop && q.nonEmpty) {
+      val (g, v) = q.dequeue()
+      // skip stale heap entries and vertices no longer movable separator
+      // members
+      if (side(v) == 2 && canMove(v) && g == curGain(v)) {
+        if (sideW(s) >= maxSide) stop = true
+        else if (sideW(s) + vw(v) <= maxSide) {
+          curSep -= (vw(v) - con(v))
+          val newBal =
+            math.abs((sideW(s) + vw(v)) - (sideW(other) - con(v)))
+          val improved =
+            curSep < minSep || (curSep == minSep && newBal < minBal)
+          side(v) = s
+          sideW(s) += vw(v); sideW(2) -= vw(v)
+          val pulled = scala.collection.mutable.ArrayBuffer.empty[Int]
+          adj(v).foreach { k =>
+            if (side(k) == other) {
+              pulled += k
+              side(k) = 2
+              sideW(other) -= vw(k); sideW(2) += vw(k)
+              if (canMove(k)) { calcCon(k); push(k) }
+              // k left `other`: every gathered SEP neighbor's pull toward
+              // `other` shrinks by w(k) — their gains improve
+              adj(k).foreach { m =>
+                if (side(m) == 2 && canMove(m) && m != v) {
+                  con(m) -= vw(k)
+                  push(m)
+                }
+              }
+            }
+          }
+          moves += ((v, pulled.toArray))
+          if (improved) {
+            minSep = curSep; minBal = newBal; minMove = moves.length
+          } else if (moves.length - minMove > limit) stop = true
+        }
+        // else: this vertex would overfill side s right now — drop it; a
+        // later con update re-enqueues it (reference :845-847 continue)
+      }
+    }
+    // rollback to the best prefix, newest move first (reference :1000-1026)
+    var m = moves.length
+    while (m > minMove) {
+      m -= 1
+      val (v, pulled) = moves(m)
+      side(v) = 2
+      sideW(s) -= vw(v); sideW(2) += vw(v)
+      pulled.foreach { k =>
+        side(k) = other
+        sideW(2) -= vw(k); sideW(other) += vw(k)
+      }
+    }
+    minMove
   }
 
   /** In-place FM over the gathered arrays; returns true if any label

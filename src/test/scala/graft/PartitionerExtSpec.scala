@@ -325,6 +325,67 @@ class PartitionerExtSpec extends SparkSpec {
     }
   }
 
+  test("segmented FM (SFM): flow shifts a corridor separator for balance") {
+    // path 0-1-2-3-4, A={0}, SEP={1}, B={2,3,4}. The first flow half-pass
+    // targets the lighter side A: it moves 1→A pulling 2 into the
+    // separator (balance 2/2 at equal separator weight — kept as the best
+    // state), then flows 2→A pulling 3 until A hits maxSide=3 and the
+    // tail rolls back. Pull-and-lock FM cannot reach the 2/2 state: its
+    // only move does not SHRINK the separator, so its rollback restores
+    // the input. This is the semantics that distinguishes SFM from FM.
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val where0 = spark.createDataFrame(Seq(
+      (0L, 0), (1L, 2), (2L, 1), (3L, 1), (4L, 1))).toDF("vid", "side")
+    val vw = vertsDf(Seq(0L, 1L, 2L, 3L, 4L)).withColumn("vwgt", lit(1L))
+    val out = graft.partitioner.SeparatorRefine
+      .refineSfm(spark, edgesDf(e), where0, vw)
+      .collect().map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+    assert(out == Map(0L -> 0, 1L -> 0, 2L -> 2, 3L -> 1, 4L -> 1),
+      s"flow must shift the separator from vertex 1 to vertex 2: $out")
+  }
+
+  test("segmented FM (SFM): validity + no-worse on fixtures") {
+    for (e <- Seq(Fixtures.grid4x4, Fixtures.twoCliques, Fixtures.zipf(120))) {
+      val vids = Fixtures.vertsOf(e)
+      val vw = vertsDf(vids).withColumn("vwgt", lit(1L))
+      val where0 = NestedDissection.vertexSeparator(spark, edgesDf(e),
+        vertsDf(vids))
+      val sep0 = where0.filter(col("side") === 2).count()
+      val out = graft.partitioner.SeparatorRefine
+        .refineSfm(spark, edgesDf(e), where0, vw)
+        .collect().map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+      assert(out.keySet == vids.toSet, "totality")
+      assert(out.values.count(_ == 2) <= sep0,
+        s"separator grew: ${out.values.count(_ == 2)} > $sep0")
+      val bad = e.filter { case (s, d, _) =>
+        (out(s) == 0 && out(d) == 1) || (out(s) == 1 && out(d) == 0) }
+      assert(bad.isEmpty, s"uncovered A-B edges: $bad")
+    }
+  }
+
+  test("SFG (reference parallel default): greedy+SFM drains free movers") {
+    // same fixture as the greedy drain test: SFG's single greedy pass pair
+    // must drain the separator under the balance cap, and the follow-up
+    // SFM pass must be a no-op on the empty separator
+    val e = Seq((0L, 2L, 1L), (1L, 3L, 1L))
+    val verts = (0L to 9L)
+    val where0 = spark.createDataFrame(
+      verts.map(v => (v, if (v == 0L) 0 else if (v == 1L) 1 else 2)))
+      .toDF("vid", "side")
+    val vw = vertsDf(verts).withColumn("vwgt", lit(1L))
+    val out = graft.partitioner.SeparatorRefine
+      .refineSfg(spark, edgesDf(e), where0, vw)
+      .collect().map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+    assert(out.keySet == verts.toSet, "totality")
+    assert(out.values.count(_ == 2) == 0, s"separator must drain: $out")
+    val sw = out.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(sw.getOrElse(0, 0) <= 6 && sw.getOrElse(1, 0) <= 6,
+      s"balance cap 6 violated: $sw")
+    val bad = e.filter { case (s, d, _) =>
+      (out(s) == 0 && out(d) == 1) || (out(s) == 1 && out(d) == 0) }
+    assert(bad.isEmpty, s"uncovered A-B edges: $bad")
+  }
+
   test("separator FM: never worse than the cover on fixtures") {
     for (e <- Seq(Fixtures.grid4x4, Fixtures.twoCliques, Fixtures.zipf(120))) {
       val vids = Fixtures.vertsOf(e)
