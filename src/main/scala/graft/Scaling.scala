@@ -403,18 +403,48 @@ object Scaling {
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-    val rc = p.waitFor()
+    // read the child's stdout on a side thread: a synchronous mkString
+    // blocks until pipe EOF, so a HUNG child (no in-child deadline) would
+    // park the parent past the driver's timeout — exactly the round-2
+    // rc=124 failure shape, just one level down
+    val outBuf = new StringBuilder
+    val reader = new Thread(() => {
+      val src = scala.io.Source.fromInputStream(p.getInputStream)
+      try src.getLines().foreach { l =>
+        outBuf.synchronized { outBuf ++= l; outBuf += '\n' }
+      } finally src.close()
+    }, "scaling-fork-stdout")
+    reader.setDaemon(true)
+    reader.start()
+    // deadline-aware wait: when Bench set graft.scale.deadline.ms, give
+    // the child until deadline + 120 s grace, then kill it — a wedged
+    // fork must cost its own wall, never the whole bench JSON
+    val finished = sys.props.get("graft.scale.deadline.ms").map(_.toLong) match {
+      case Some(d) =>
+        val waitMs = math.max(10000L, d + 120000L - System.currentTimeMillis())
+        p.waitFor(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      case None => p.waitFor(); true
+    }
+    if (!finished) {
+      p.destroyForcibly()
+      p.waitFor()
+      sys.error(s"forked scaling child $env overran the bench deadline — killed")
+    }
+    reader.join(5000)
+    val out = outBuf.synchronized(outBuf.toString)
+    val rc = p.exitValue()
     require(rc == 0, s"forked scaling child $env exited $rc: $out")
     out
   }
 
   def runForked(cpus: Int, nConv: Long, iters: Int,
-                edgesDir: Option[String] = None): RunResult = {
+                edgesDir: Option[String] = None,
+                forkIdx: Int = 0): RunResult = {
     val out = fork(Map(
       "SPARK_GRAFT_SCALE_CPUS" -> cpus.toString,
       "SPARK_GRAFT_SCALE_CONVS" -> nConv.toString,
-      "SPARK_GRAFT_SCALE_ITERS" -> iters.toString) ++
+      "SPARK_GRAFT_SCALE_ITERS" -> iters.toString,
+      "SPARK_GRAFT_SCALE_FORK_IDX" -> forkIdx.toString) ++
       edgesDir.map("SPARK_GRAFT_SCALE_EDGES_DIR" -> _))
     def field(k: String): String =
       s""""$k":([0-9.]+)""".r.findFirstMatchIn(out)
@@ -498,7 +528,7 @@ object Scaling {
     fork(Map("SPARK_GRAFT_SCALE_MODE" -> "prep",
       "SPARK_GRAFT_SCALE_CONVS" -> nConv.toString,
       "SPARK_GRAFT_SCALE_EDGES_DIR" -> edgesDir))
-    try {
+    locally {
       // ALTERNATE the legs across several fresh-JVM forks: the sandbox VM
       // has multi-minute noisy windows (measured trials 3-4x apart within
       // one fork), and running each level in one contiguous window would
@@ -525,12 +555,26 @@ object Scaling {
         cpusLo -> 0.0, cpusHi -> 0.0)
       def runLeg(k: Int, c: Int): Unit = {
         val t0 = System.nanoTime()
-        val r = runForked(c, nConv, iters, Some(edgesDir))
-        val wall = (System.nanoTime() - t0) / 1e9
-        maxLegSec(c) = math.max(maxLegSec(c), wall)
-        if (c == cpusLo) loF :+= r else hiF :+= r
-        System.err.println(f"[scaling] fork=$k cpus=$c wallMin=${r.seconds}%.2fs " +
-          f"iterMed=${r.iterMedianMs}%.0fms legWall=$wall%.0fs")
+        // a single crashed/killed/hung child must never discard the forks
+        // already measured (the statistic is an independent min-over-forks
+        // per level, so dropping one draw is always valid): log it, charge
+        // its wall to the leg's cost estimate, and let later pairs or the
+        // extra-leg hunt redraw this level
+        try {
+          val r = runForked(c, nConv, iters, Some(edgesDir), forkIdx = k)
+          val wall = (System.nanoTime() - t0) / 1e9
+          maxLegSec(c) = math.max(maxLegSec(c), wall)
+          if (c == cpusLo) loF :+= r else hiF :+= r
+          System.err.println(f"[scaling] fork=$k cpus=$c wallMin=${r.seconds}%.2fs " +
+            f"iterMed=${r.iterMedianMs}%.0fms legWall=$wall%.0fs")
+        } catch { case e: Throwable =>
+          val wall = (System.nanoTime() - t0) / 1e9
+          maxLegSec(c) = math.max(maxLegSec(c), wall)
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(f"[scaling] fork=$k cpus=$c FAILED after " +
+            f"$wall%.0fs — continuing with remaining forks: " +
+            msg.linesIterator.take(1).mkString.take(300))
+        }
       }
       def runPair(k: Int): Unit = {
         // alternate the order (lo,hi / hi,lo) so slow drift in machine
@@ -562,24 +606,31 @@ object Scaling {
       // implicated leg — the statistic is an independent min-over-forks
       // per level, so extra draws at one level are valid and cost half a
       // pair, which is what lets the hunt fit the deadline at all.
-      def eff: Double = PairResult(loF, hiF, cpusLo, cpusHi).eff
-      def offTarget: Boolean = eff < target || eff > 1.05
+      // None while either level has zero successful forks (a crashed leg)
+      def effOpt: Option[Double] =
+        if (loF.isEmpty || hiF.isEmpty) None
+        else Some(PairResult(loF, hiF, cpusLo, cpusHi).eff)
+      def offTarget: Boolean = effOpt.forall(e => e < target || e > 1.05)
+      // redraw priority: a level with NO data yet, then the implicated one
+      def retryCpus: Int =
+        if (loF.isEmpty) cpusLo
+        else if (hiF.isEmpty) cpusHi
+        else if (effOpt.get > 1.05) cpusLo else cpusHi
       var extra = 0
-      while (extra < maxExtra && offTarget && {
-          val c = if (eff > 1.05) cpusLo else cpusHi
-          fits(maxLegSec(c))
-        }) {
+      while (extra < maxExtra && offTarget && fits(maxLegSec(retryCpus))) {
         extra += 1
         k += 1
-        val c = if (eff > 1.05) cpusLo else cpusHi
-        System.err.println(f"[scaling] eff=$eff%.3f off target " +
-          f"[$target%.2f, 1.05] — extra cpus=$c leg, fork $k")
+        val c = retryCpus
+        System.err.println(f"[scaling] eff=${effOpt.getOrElse(Double.NaN)}%.3f " +
+          f"off target [$target%.2f, 1.05] — extra cpus=$c leg, fork $k")
         runLeg(k, c)
       }
       if (offTarget)
-        System.err.println(f"[scaling] emitting off-target eff=$eff%.3f " +
-          s"(budget: extra=$extra/$maxExtra, fits=${fits(
-            maxLegSec(if (eff > 1.05) cpusLo else cpusHi))})")
+        System.err.println(f"[scaling] emitting off-target " +
+          f"eff=${effOpt.getOrElse(Double.NaN)}%.3f " +
+          s"(budget: extra=$extra/$maxExtra, fits=${fits(maxLegSec(retryCpus))})")
+      require(loF.nonEmpty && hiF.nonEmpty, "every scaling fork at " +
+        s"${if (loF.isEmpty) cpusLo else cpusHi} cpus failed — no data to emit")
       // the 8→32 pair is OPT-IN (SPARK_GRAFT_SCALE_SECONDARY=1): it is
       // diagnostic only (the one-box DRAM-bus analysis lives in
       // BASELINE.md) and two extra fresh-JVM legs push the whole bench
@@ -693,6 +744,13 @@ object Scaling {
     }
     sys.env.get("SPARK_GRAFT_SCALE_CPUS") match {
       case Some(c) => // single-run mode (one parallelism level per JVM)
+        // failure-injection hook (harness testing only): kill this child
+        // deterministically so pairForked's crashed-leg tolerance can be
+        // exercised end-to-end — SPARK_GRAFT_SCALE_FAIL_FORK=<k> crashes
+        // every leg of fork k and nothing else
+        if (sys.env.get("SPARK_GRAFT_SCALE_FAIL_FORK").exists(f =>
+            sys.env.get("SPARK_GRAFT_SCALE_FORK_IDX").contains(f)))
+          sys.exit(17)
         val r = run(c.toInt, nConv, iters)
         println(s"""{"cpus":${r.cpus},"vertices":${r.vertices},""" +
           s""""edges":${r.edges},"pr_iters":${r.iters},""" +
