@@ -742,6 +742,65 @@ object Scaling {
       } finally spark.stop()
       return
     }
+    // Whole nested-dissection ordering at scale (the reference's third
+    // public API, MTMETIS_NodeND): SPARK_GRAFT_SCALE_MODE=nd
+    // [+ SPARK_GRAFT_SCALE_EDGES_DIR to reuse a prepped graph,
+    //  + SPARK_GRAFT_VSEP_MAXGATHER to lower the separator gather bound so
+    //    the SFG distributed path (greedy flow + gathered SFM) is the one
+    //    measured]. Emits permutation-validity fields next to the wall so
+    //    the bench row is self-checking.
+    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("nd")) {
+      if (!sys.env.get("SPARK_GRAFT_SCALE_INFORK").contains("1")) {
+        // same child-JVM shape as partition mode: wall-time measurement,
+        // G1 (latency immaterial), GCLocker retries for lz4-vs-humongous
+        print(fork(sys.env.filter(_._1.startsWith("SPARK_GRAFT")) +
+          ("SPARK_GRAFT_SCALE_INFORK" -> "1"),
+          gcArgs = Some(Seq("-XX:+UseG1GC", "-XX:+UnlockDiagnosticVMOptions",
+            "-XX:GCLockerRetryAllocationCount=64"))))
+        return
+      }
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS",
+        Runtime.getRuntime.availableProcessors().toString).toInt
+      val spark = session(cpus)
+      try {
+        sys.env.get("SPARK_GRAFT_VSEP_MAXGATHER").foreach(g =>
+          spark.conf.set("spark.graft.vsep.maxGather", g))
+        val (edges, verts) = sys.env.get("SPARK_GRAFT_SCALE_EDGES_DIR") match {
+          case Some(dir) =>
+            (spark.read.parquet(s"$dir/edges"),
+              spark.read.parquet(s"$dir/vids").select(col("vid")))
+          case None =>
+            val maxTurns =
+              sys.env.getOrElse("SPARK_GRAFT_SCALE_TURNS", "600").toInt
+            val ts = Transcripts.synthesize(spark, nConv, maxTurns = maxTurns)
+            val dict = EdgeDeriver.vertices(ts)
+            (graft.plans.Plans.checkpoint(
+              EdgeDeriver.simpleGraph(EdgeDeriver.edges(ts, dict))),
+              dict.select(col("vid")))
+        }
+        val nE = edges.count(); val nV = verts.count()
+        val collectThreshold =
+          sys.env.getOrElse("SPARK_GRAFT_ND_COLLECT", "4096").toLong
+        val t0 = System.nanoTime()
+        val perm = graft.partitioner.NestedDissection.order(
+          spark, edges, verts, collectThreshold)
+        // validity forced as part of the measured run: a permutation of
+        // [0, n) — n rows, n distinct labels, min 0, max n-1
+        val v = perm.agg(count(lit(1)), countDistinct(col("perm")),
+          min(col("perm")), max(col("perm"))).head()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val m = graft.plans.Metrics.snapshot()
+          .filter { case (k, _) => k.startsWith("vsep_") || k.startsWith("m3_") }
+          .toSeq.sorted
+          .map { case (k, c) => s""""$k":$c""" }.mkString(",")
+        println(s"""{"mode":"nd","cpus":$cpus,"vertices":$nV,""" +
+          s""""edges":$nE,"perm_rows":${v.getLong(0)},""" +
+          s""""perm_distinct":${v.getLong(1)},"perm_min":${v.getLong(2)},""" +
+          s""""perm_max":${v.getLong(3)},"collect_threshold":$collectThreshold,""" +
+          s""""wall_sec":${f"$wall%.1f"},"metrics":{$m}}""")
+      } finally spark.stop()
+      return
+    }
     sys.env.get("SPARK_GRAFT_SCALE_CPUS") match {
       case Some(c) => // single-run mode (one parallelism level per JVM)
         // failure-injection hook (harness testing only): kill this child

@@ -26,6 +26,14 @@ import graft.plans.Plans.CheckpointOps
   */
 object SeparatorRefine {
 
+  /** Gather bound: an explicit positive argument wins; otherwise the
+    * session conf `spark.graft.vsep.maxGather` (scale benches lower it to
+    * force the SFG distributed path); otherwise 200000.
+    */
+  private def resolveMaxGather(spark: SparkSession, arg: Long): Long =
+    if (arg > 0) arg
+    else spark.conf.get("spark.graft.vsep.maxGather", "200000").toLong
+
   /** Refine `where(vid, side)` (side ∈ {0,1,2}); returns the same schema.
     * `vwgt(vid, vwgt)` supplies vertex weights. Falls back to the input
     * unchanged when the separator is empty or the gather exceeds
@@ -33,7 +41,8 @@ object SeparatorRefine {
     */
   def refine(spark: SparkSession, edges: DataFrame, where: DataFrame,
              vwgt: DataFrame, ubFactor: Double = 1.2,
-             maxGather: Long = 200000L, passes: Int = 4): DataFrame = {
+             maxGather: Long = -1L, passes: Int = 4): DataFrame = {
+    val mg = resolveMaxGather(spark, maxGather)
     val w = where.select(col("vid"), col("side")).ckpt()
     val sepV = w.filter(col("side") === 2).select(col("vid"))
     if (sepV.isEmpty) return w
@@ -45,7 +54,7 @@ object SeparatorRefine {
     val gatherIds = sepV.unionByName(sepAdj.select(col("dst").as("vid")))
       .distinct()
     val nGather = gatherIds.count()
-    if (nGather > maxGather) {
+    if (nGather > mg) {
       // never silent (repo rule): counted, and since round 4 the over-bound
       // path gets the reference's PARALLEL default scheme SFG (greedy
       // flow passes, then segmented FM once the greedy has shrunk the
@@ -54,9 +63,9 @@ object SeparatorRefine {
       // small-separator path (it sees negative-gain chains the one-sided
       // greedy cannot)
       graft.plans.Metrics.event("vsep_refine_dist_fallback",
-        s"separator+frontier $nGather > maxGather $maxGather — " +
+        s"separator+frontier $nGather > maxGather $mg — " +
           "running SFG (distributed greedy + gathered SFM) instead")
-      return refineSfg(spark, edges, w, vwgt, ubFactor, maxGather,
+      return refineSfg(spark, edges, w, vwgt, ubFactor, mg,
         greedyPasses = math.max(passes, 4))
     }
     // global side weights (balance is whole-graph, not gathered-set)
@@ -227,9 +236,10 @@ object SeparatorRefine {
     */
   def refineSfm(spark: SparkSession, edges: DataFrame, where: DataFrame,
                 vwgt: DataFrame, ubFactor: Double = 1.2,
-                maxGather: Long = 200000L, nrefpass: Int = 8,
+                maxGather: Long = -1L, nrefpass: Int = 8,
                 hillSize: Int = 16, levelParity: Int = 0,
                 fallbackToGreedy: Boolean = true): DataFrame = {
+    val mg = resolveMaxGather(spark, maxGather)
     val w = where.select(col("vid"), col("side")).ckpt()
     val sepV = w.filter(col("side") === 2).select(col("vid"))
     if (sepV.isEmpty) return w
@@ -246,11 +256,11 @@ object SeparatorRefine {
     // bound BOTH the vertex and the edge gather (a dense frontier can
     // carry maxGather² edges behind a small vertex count)
     val nGather = universe.count()
-    val nAdjE = if (nGather > maxGather) Long.MaxValue else gAdj.count()
-    if (nGather > maxGather || nAdjE > 8L * maxGather) {
+    val nAdjE = if (nGather > mg) Long.MaxValue else gAdj.count()
+    if (nGather > mg || nAdjE > 8L * mg) {
       graft.plans.Plans.unpersist(movableIds)
       graft.plans.Metrics.event("vsep_sfm_skipped",
-        s"SFM gather $nGather vtxs / $nAdjE edges > bound $maxGather" +
+        s"SFM gather $nGather vtxs / $nAdjE edges > bound $mg" +
           (if (fallbackToGreedy) " — running distributed greedy instead"
            else " — keeping the greedy-refined labels"))
       return if (fallbackToGreedy)
@@ -309,7 +319,7 @@ object SeparatorRefine {
     */
   def refineSfg(spark: SparkSession, edges: DataFrame, where: DataFrame,
                 vwgt: DataFrame, ubFactor: Double = 1.2,
-                maxGather: Long = 200000L, greedyPasses: Int = 2,
+                maxGather: Long = -1L, greedyPasses: Int = 2,
                 hillSize: Int = 16): DataFrame = {
     val g = refineGreedyDist(spark, edges, where, vwgt, ubFactor,
       passes = greedyPasses)
