@@ -98,11 +98,14 @@ object BoundaryFm {
                       maxBoundary: Long = 200000L): DataFrame = {
     val (bv, be) = extractBoundary(edges, vertices, assign)
     val nBnd = bv.count() - 2
-    if (nBnd > maxBoundary) {
+    // bound BOTH gathers: a boundary of HUBS carries Σ deg(boundary)
+    // edge rows — unbounded by the vertex count alone
+    val nBe = if (nBnd > maxBoundary) Long.MaxValue else be.count()
+    if (nBnd > maxBoundary || nBe > 8L * maxBoundary) {
       // never silent (repo rule): count + log the skipped refinement
       graft.plans.Metrics.event("boundary_fm_skipped",
-        s"boundary $nBnd > maxBoundary $maxBoundary — " +
-          "returning input unrefined")
+        s"boundary $nBnd vtxs / $nBe edge rows > maxBoundary " +
+          s"$maxBoundary — returning input unrefined")
       return assign
     }
     if (nBnd <= 0) return assign // no boundary: nothing to refine

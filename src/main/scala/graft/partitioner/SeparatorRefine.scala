@@ -54,7 +54,11 @@ object SeparatorRefine {
     val gatherIds = sepV.unionByName(sepAdj.select(col("dst").as("vid")))
       .distinct()
     val nGather = gatherIds.count()
-    if (nGather > mg) {
+    // bound BOTH the vertex and the edge gather: a small separator of
+    // HUBS carries Σ deg(sep) adjacency rows — unbounded by the vertex
+    // count alone (same guard as refineSfm)
+    val nAdjE = if (nGather > mg) Long.MaxValue else sepAdj.count()
+    if (nGather > mg || nAdjE > 8L * mg) {
       // never silent (repo rule): counted, and since round 4 the over-bound
       // path gets the reference's PARALLEL default scheme SFG (greedy
       // flow passes, then segmented FM once the greedy has shrunk the
@@ -63,8 +67,9 @@ object SeparatorRefine {
       // small-separator path (it sees negative-gain chains the one-sided
       // greedy cannot)
       graft.plans.Metrics.event("vsep_refine_dist_fallback",
-        s"separator+frontier $nGather > maxGather $mg — " +
-          "running SFG (distributed greedy + gathered SFM) instead")
+        s"separator+frontier $nGather vtxs / $nAdjE adj rows > " +
+          s"maxGather $mg — running SFG (distributed greedy + gathered " +
+          "SFM) instead")
       return refineSfg(spark, edges, w, vwgt, ubFactor, mg,
         greedyPasses = math.max(passes, 4))
     }
