@@ -430,7 +430,12 @@ object Scaling {
       p.waitFor()
       sys.error(s"forked scaling child $env overran the bench deadline — killed")
     }
-    reader.join(5000)
+    // the child has exited (or was force-killed), so pipe EOF is
+    // guaranteed — join unbounded: a bounded join could hand back a
+    // TRUNCATED json line from a healthy child when the reader thread is
+    // starved under a 32-thread leg, turning a good draw into a fake
+    // failure
+    reader.join()
     val out = outBuf.synchronized(outBuf.toString)
     val rc = p.exitValue()
     require(rc == 0, s"forked scaling child $env exited $rc: $out")
@@ -567,7 +572,7 @@ object Scaling {
           if (c == cpusLo) loF :+= r else hiF :+= r
           System.err.println(f"[scaling] fork=$k cpus=$c wallMin=${r.seconds}%.2fs " +
             f"iterMed=${r.iterMedianMs}%.0fms legWall=$wall%.0fs")
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           val wall = (System.nanoTime() - t0) / 1e9
           maxLegSec(c) = math.max(maxLegSec(c), wall)
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -637,10 +642,22 @@ object Scaling {
       // against the driver's timeout
       val secondary =
         if (!sys.env.get("SPARK_GRAFT_SCALE_SECONDARY").contains("1")) None
-        else {
-          val lo8 = runForked(8, nConv, iters, Some(edgesDir))
-          val hi32 = runForked(32, nConv, iters, Some(edgesDir))
+        else try {
+          // same crash tolerance as the primary legs: the secondary pair
+          // is diagnostic only, and a crashed 8/32 child must never
+          // discard the fully-measured primary result (fork indices
+          // continue past the hunt so failure injection cannot collide)
+          val lo8 = runForked(8, nConv, iters, Some(edgesDir),
+            forkIdx = k + 1)
+          val hi32 = runForked(32, nConv, iters, Some(edgesDir),
+            forkIdx = k + 2)
           Some(json(PairResult(Seq(lo8), Seq(hi32), 8, 32)))
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println("[scaling] secondary 8->32 pair FAILED — " +
+            "emitting primary result without it: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(300))
+          None
         }
       PairResult(loF, hiF, cpusLo, cpusHi, secondary)
     }

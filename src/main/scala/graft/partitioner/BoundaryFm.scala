@@ -99,13 +99,16 @@ object BoundaryFm {
     val (bv, be) = extractBoundary(edges, vertices, assign)
     val nBnd = bv.count() - 2
     // bound BOTH gathers: a boundary of HUBS carries Σ deg(boundary)
-    // edge rows — unbounded by the vertex count alone
-    val nBe = if (nBnd > maxBoundary) Long.MaxValue else be.count()
-    if (nBnd > maxBoundary || nBe > 8L * maxBoundary) {
+    // edge rows — unbounded by the vertex count alone; -1 = not counted
+    // (the vertex bound already tripped)
+    val nBe = if (nBnd > maxBoundary) -1L else be.count()
+    if (nBnd > maxBoundary ||
+        nBe > SeparatorRefine.edgeBound(maxBoundary)) {
       // never silent (repo rule): count + log the skipped refinement
       graft.plans.Metrics.event("boundary_fm_skipped",
-        s"boundary $nBnd vtxs / $nBe edge rows > maxBoundary " +
-          s"$maxBoundary — returning input unrefined")
+        s"boundary $nBnd vtxs / " +
+          s"${if (nBe < 0) "uncounted" else nBe.toString} edge rows > " +
+          s"maxBoundary $maxBoundary — returning input unrefined")
       return assign
     }
     if (nBnd <= 0) return assign // no boundary: nothing to refine

@@ -34,10 +34,17 @@ object SeparatorRefine {
     if (arg > 0) arg
     else spark.conf.get("spark.graft.vsep.maxGather", "200000").toLong
 
+  /** Edge-gather bound = 8x the vertex bound, overflow-safe for callers
+    * that pass a huge bound to effectively disable the guard.
+    */
+  private[partitioner] def edgeBound(mg: Long): Long =
+    8L * math.min(mg, Long.MaxValue / 8L)
+
   /** Refine `where(vid, side)` (side ∈ {0,1,2}); returns the same schema.
-    * `vwgt(vid, vwgt)` supplies vertex weights. Falls back to the input
-    * unchanged when the separator is empty or the gather exceeds
-    * `maxGather`.
+    * `vwgt(vid, vwgt)` supplies vertex weights. Returns the input
+    * unchanged when the separator is empty; when the gather exceeds
+    * `maxGather` (vertices, or 8x in adjacency rows) the SFG distributed
+    * scheme runs instead of the gathered FM ([[refineSfg]]).
     */
   def refine(spark: SparkSession, edges: DataFrame, where: DataFrame,
              vwgt: DataFrame, ubFactor: Double = 1.2,
@@ -46,19 +53,23 @@ object SeparatorRefine {
     val w = where.select(col("vid"), col("side")).ckpt()
     val sepV = w.filter(col("side") === 2).select(col("vid"))
     if (sepV.isEmpty) return w
-    // adjacency of separator vertices (both directions), dst side/weight
+    // adjacency of separator vertices (both directions), dst side/weight;
+    // checkpointed: counted once for the bound, then collected — without
+    // it the full-edge semi-join would run twice more below
     val sym = GraphOps.symmetrize(edges)
     val sepAdj = sym.join(sepV.withColumnRenamed("vid", "src"), Seq("src"),
         "left_semi")
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst")).ckpt()
     val gatherIds = sepV.unionByName(sepAdj.select(col("dst").as("vid")))
       .distinct()
     val nGather = gatherIds.count()
     // bound BOTH the vertex and the edge gather: a small separator of
     // HUBS carries Σ deg(sep) adjacency rows — unbounded by the vertex
-    // count alone (same guard as refineSfm)
-    val nAdjE = if (nGather > mg) Long.MaxValue else sepAdj.count()
-    if (nGather > mg || nAdjE > 8L * mg) {
+    // count alone (same guard as refineSfm); -1 = not counted (the vertex
+    // bound already tripped)
+    val nAdjE = if (nGather > mg) -1L else sepAdj.count()
+    if (nGather > mg || nAdjE > edgeBound(mg)) {
+      graft.plans.Plans.unpersist(sepAdj)
       // never silent (repo rule): counted, and since round 4 the over-bound
       // path gets the reference's PARALLEL default scheme SFG (greedy
       // flow passes, then segmented FM once the greedy has shrunk the
@@ -67,7 +78,8 @@ object SeparatorRefine {
       // small-separator path (it sees negative-gain chains the one-sided
       // greedy cannot)
       graft.plans.Metrics.event("vsep_refine_dist_fallback",
-        s"separator+frontier $nGather vtxs / $nAdjE adj rows > " +
+        s"separator+frontier $nGather vtxs / " +
+          s"${if (nAdjE < 0) "uncounted" else nAdjE.toString} adj rows > " +
           s"maxGather $mg — running SFG (distributed greedy + gathered " +
           "SFM) instead")
       return refineSfg(spark, edges, w, vwgt, ubFactor, mg,
@@ -88,6 +100,7 @@ object SeparatorRefine {
     val vw = gathered.map(_._3)
     val adjPairs = sepAdj.collect()
       .map(r => (idx(r.getLong(0)), idx(r.getLong(1))))
+    graft.plans.Plans.unpersist(sepAdj)
     val adj = Array.fill(ids.length)(Array.empty[Int])
     adjPairs.groupBy(_._1).foreach { case (v, ps) =>
       adj(v) = ps.map(_._2).distinct.sorted
@@ -254,18 +267,24 @@ object SeparatorRefine {
         sym.join(sepV.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
           .select(col("dst").as("vid")))
       .distinct().ckpt()
+    // checkpointed: the full-edge semi-join otherwise re-runs for the
+    // bound count, the universe count, and both collects below
     val gAdj = sym.join(movableIds.withColumnRenamed("vid", "src"),
-      Seq("src"), "left_semi")
+      Seq("src"), "left_semi").ckpt()
     val universe = movableIds
       .unionByName(gAdj.select(col("dst").as("vid"))).distinct()
     // bound BOTH the vertex and the edge gather (a dense frontier can
-    // carry maxGather² edges behind a small vertex count)
+    // carry maxGather² edges behind a small vertex count); -1 = not
+    // counted (the vertex bound already tripped)
     val nGather = universe.count()
-    val nAdjE = if (nGather > mg) Long.MaxValue else gAdj.count()
-    if (nGather > mg || nAdjE > 8L * mg) {
+    val nAdjE = if (nGather > mg) -1L else gAdj.count()
+    if (nGather > mg || nAdjE > edgeBound(mg)) {
       graft.plans.Plans.unpersist(movableIds)
+      graft.plans.Plans.unpersist(gAdj)
       graft.plans.Metrics.event("vsep_sfm_skipped",
-        s"SFM gather $nGather vtxs / $nAdjE edges > bound $mg" +
+        s"SFM gather $nGather vtxs / " +
+          s"${if (nAdjE < 0) "uncounted" else nAdjE.toString} edges " +
+          s"> bound $mg" +
           (if (fallbackToGreedy) " — running distributed greedy instead"
            else " — keeping the greedy-refined labels"))
       return if (fallbackToGreedy)
@@ -298,6 +317,7 @@ object SeparatorRefine {
     }
     val adj = adjSets.map(_.toArray.sorted)
     graft.plans.Plans.unpersist(movableIds)
+    graft.plans.Plans.unpersist(gAdj)
     val before = side.clone()
     val tv = sideW.sum
     val maxSide = math.ceil(ubFactor * tv / 2.0).toLong
