@@ -245,6 +245,38 @@ class PartitionerExtSpec extends SparkSpec {
       s"distributed cut ${Oracles.cut(e, parts)} vs oracle $oracleCut")
   }
 
+  test("fully-distributed refinement matches serial cut quality on a grid") {
+    // the sibling test above leaves serialRefineThreshold at 4096, so on a
+    // 300-vertex graph every level still refines via the gathered serial
+    // FM — this one zeroes EVERY serial dispatch bound, forcing the BSP
+    // bounded-admit refinement + distributed hills on every level, and
+    // uses a structured graph (24x24 grid, ideal bisection cut 24) where
+    // refinement quality actually shows (a zipf expander hides it)
+    val n = 24
+    val e: Seq[(Long, Long, Long)] = for {
+      r <- 0 until n; c <- 0 until n
+      (dr, dc) <- Seq((0, 1), (1, 0))
+      if r + dr < n && c + dc < n
+    } yield ((r * n + c).toLong, ((r + dr) * n + (c + dc)).toLong, 1L)
+    val vids = (0L until (n * n).toLong)
+    val v = vertsDf(vids).select(col("vid"), array(lit(1L)).as("vwgts"))
+    val r = Multilevel.partitionMC(spark, edgesDf(e), v, 2, ncon = 1,
+      coarsenTo0 = 60, serialRefineThreshold = 0L,
+      serialGraphVertices = 0L, serialGraphEdges = 0L,
+      serialTailVertices = 0L, serialTailEdges = 0L)
+    val parts = r.assign.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(parts.keySet == vids.toSet, "totality")
+    assert(r.imbalance <= 1.03 + 4.0 / (n * n) + 1e-9,
+      s"imbalance ${r.imbalance}")
+    val g = graft.partitioner.InitialPartition.fromEdges(e.toArray,
+      vids.map((_, 1L)).toArray)
+    val oracleCut = graft.partitioner.InitialPartition.cutOf(g,
+      graft.partitioner.InitialPartition.partition(g, 2, 1.03))
+    val distCut = Oracles.cut(e, parts)
+    assert(distCut <= math.max(2 * oracleCut, oracleCut + 8),
+      s"distributed cut $distCut vs serial oracle $oracleCut (ideal ${n})")
+  }
+
   test("separator FM: strict shrink when a sep vertex has no far side") {
     // path 0-1-2 plus pendant 3 on vertex 0; labels A={0,3's side}, B={2}
     // cover left {1,3} in SEP but 3 has NO B-neighbor -> FM moves it to A
