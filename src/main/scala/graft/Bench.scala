@@ -53,6 +53,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Untimed one-time JVM warm-up: without it, whichever query sorts
+    // first absorbs ~8-10 s of session cost that belongs to NO query —
+    // Janino/codegen compiler bring-up, shuffle machinery, parquet reader
+    // classes (observed: q1_agg 10.2 s warm-start vs ~1 s steady-state).
+    // Touches no SparkEntry query: a 1000-row slice of the events table
+    // through the same read → shuffle → xxhash64/bit_xor forcing shape
+    // the timed loop uses.
+    locally {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .limit(1000)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .select(xxhash64(col("event_type"), col("n")).as("h"))
+        .agg(expr("bit_xor(h)")).head()
+      System.err.println(
+        f"[bench] warmup ${(System.nanoTime() - t0) / 1e9}%.3f s (untimed)")
+    }
     // dev filter: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

@@ -90,6 +90,29 @@ object EventsGraph {
         vertexDict(transcripts(spark, sfDir)).select(col("vid"))))
   }
 
+  /** Memoize an arbitrary gate derivation per (session, sfDir, key), same
+    * lifecycle as the edge/vertex memo (dropped when the session stops).
+    * For gate queries that share an expensive checkpointed intermediate —
+    * e.g. the ND vertex separator consumed by three q_vsep* gates — so a
+    * Verify/Bench session derives it once, not once per query. `f` must
+    * return an already-checkpointed DataFrame. get-then-putIfAbsent (not
+    * computeIfAbsent) because `f` itself reads `edges`/`vertices` through
+    * this same map and ConcurrentHashMap forbids recursive updates; a
+    * lost race recomputes once, harmlessly.
+    */
+  def memoized(spark: SparkSession, sfDir: String, key: String)
+              (f: => DataFrame): DataFrame = {
+    purgeStopped()
+    val k = (spark, sfDir, key)
+    val cur = memo.get(k)
+    if (cur != null) cur
+    else {
+      val v = f
+      val prev = memo.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB CTE text producing the identical canonical edge table
