@@ -19,20 +19,25 @@ object Scaling {
   case class RunResult(cpus: Int, vertices: Long, edges: Long, iters: Int,
                        seconds: Double,
                        trialSecs: Seq[Double] = Nil,
-                       iterMs: Seq[Double] = Nil) {
+                       iterMs: Seq[Double] = Nil,
+                       trialIterMeds: Seq[Double] = Nil) {
     def itersPerSec: Double = iters / seconds
     /** edge-traversals/sec: 2|E| contribution flows per iteration */
     def teps: Double = 2.0 * edges * iters / seconds
     /** Robust per-iteration wall millis for this fork: the MIN over trials
-      * of each trial's MEDIAN iteration time (samples regrouped by trial
-      * length). Median-within-trial absorbs noise bursts inside a trial;
-      * min-across-trials picks the fork's cleanest trial — pooling all
-      * samples first buried a clean trial under two noisy ones (observed:
-      * per-trial medians 1075/617/925 ms pooled to 868 where the machine's
-      * quiet capacity was ~620). NaN if samples are unavailable.
+      * of each trial's MEDIAN iteration time. Median-within-trial absorbs
+      * noise bursts inside a trial; min-across-trials picks the fork's
+      * cleanest trial — pooling all samples first buried a clean trial
+      * under two noisy ones (observed: per-trial medians 1075/617/925 ms
+      * pooled to 868 where the machine's quiet capacity was ~620).
+      * Prefers the explicit per-trial medians (computed in the child, so
+      * wall-capped truncated trials median over exactly their own
+      * samples); falls back to regrouping the flat samples by nominal
+      * trial length for older inputs. NaN if samples are unavailable.
       */
     def iterMedianMs: Double =
-      if (iterMs.isEmpty) Double.NaN
+      if (trialIterMeds.nonEmpty) trialIterMeds.min
+      else if (iterMs.isEmpty) Double.NaN
       else iterMs.grouped(math.max(1, iters))
         .map(g => Scaling.median(g)).min
   }
@@ -307,13 +312,28 @@ object Scaling {
       // the final stage skip the computed arrays)
       def force(ranks: org.apache.spark.rdd.RDD[(Int, Array[Double])]): Double =
         ranks.map(_._2.sum).sum()
-      // JIT warmup: a FULL-length pass — with only 2 warmup iterations the
-      // measured trials were still descending at trial 3 (C2 compilation
-      // of the kernel loop happens over the first ~15 invocations), which
-      // systematically penalized whichever leg ran fewer total iterations
-      // per second of wall clock
-      val wu = if (warmupIters > 0) warmupIters else iters
-      force(iterate(wu))
+      // JIT warmup: with only 2 warmup iterations the measured trials were
+      // still descending at trial 3 (C2 compilation of the kernel loop
+      // happens over the first ~15 invocations), which systematically
+      // penalized whichever leg ran fewer total iterations per second of
+      // wall clock. 40 iterations (the full length of every leg when this
+      // was calibrated) is comfortably past that knee; equal-wall trials
+      // can set iters=160+, where a full-length warmup would burn ~45 s of
+      // deadline per leg for nothing
+      val wu = if (warmupIters > 0) warmupIters else math.min(iters, 40)
+      // warmup is wall-capped like the trials (in sustained noise 40
+      // uncapped iterations cost ~2 min of deadline; C2 is past its knee
+      // by ~15 invocations, so a capped warmup still JITs the kernel)
+      locally {
+        val t0 = System.nanoTime()
+        var done = 0
+        while (done < wu && (done == 0 || (System.nanoTime() - t0) / 1e9 <
+            sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIAL_CAP", "100").toDouble)) {
+          val n = math.min(20, wu - done)
+          force(iterate(n))
+          done += n
+        }
+      }
       // drain the warmup's ~3 GB of message-array garbage BEFORE trial 1:
       // without this, ZGC's concurrent cycle for it overlapped the first
       // trial (trial 1 measured 3-6x slow in every fork, even post-warmup)
@@ -323,31 +343,56 @@ object Scaling {
       // stalls; the minimum approximates true machine capacity (standard
       // practice for contended-host benchmarking). Per-iteration samples
       // pooled across trials feed the stronger median statistic upstream.
-      // ASYMMETRIC trial counts: the hi (16-thread) leg's trials are ~4x
-      // shorter, so a noise burst covers a larger FRACTION of a trial and
-      // its per-trial medians spread 2x+ (measured: hi fork medians
-      // 115-278 ms where lo sat tightly in 367-433) — min-of-trial-medians
-      // needs more draws at a clean window precisely on the leg whose
-      // trials are cheap to repeat
-      val trials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS",
-        if (cpus >= 16) "8" else "3").toInt
+      // Trial LENGTH equalization happens upstream (pairForked scales the
+      // hi leg's per-trial iteration count by cpusHi/cpusLo): with equal
+      // iteration counts a 40-iteration hi trial spanned only ~11 s of
+      // wall vs ~45 s at lo, so one multi-second noise burst poisoned most
+      // of a hi trial's median while lo medians absorbed it — the hi level
+      // then needed a LUCKY fully-quiet window to show its floor (an 8-
+      // trial asymmetric schedule hunted for one, cost 450-600 s per leg,
+      // and still read 365 ms on a day the floor was ~270). Equal-WALL
+      // trials make the median statistic equally burst-robust at both
+      // levels, so 3 trials suffice everywhere
+      val trials = sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIALS", "3").toInt
+      // wall cap per trial, enforced at chunk boundaries: a NOISY trial's
+      // median can never become the fork's min, so measuring it to
+      // completion is pure deadline waste (observed: equal-wall trials
+      // stretched to 308-372 s under sustained noise — quiet is ~45 s —
+      // and two fork pairs ate the whole hunt budget). The cap can only
+      // ever truncate SLOW trials: 20 quiet iterations finish far inside
+      // it, so a truncated trial is noisy by construction and its
+      // (correctly computed, own-samples) median never wins the min
+      val trialCapSec =
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_TRIAL_CAP", "100").toDouble
+      val chunk = math.max(1, math.min(iters, 20))
       val iterSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val trialMeds = scala.collection.mutable.ArrayBuffer.empty[Double]
       val trialSecs = (1 to trials).map { t =>
         val t0 = System.nanoTime()
-        force(iterate(iters))
+        var done = 0
+        while (done < iters && (done == 0 ||
+            (System.nanoTime() - t0) / 1e9 < trialCapSec)) {
+          val n = math.min(chunk, iters - done)
+          force(iterate(n))
+          done += n
+        }
         val dt = (System.nanoTime() - t0) / 1e9
-        val perIter = drainIterMs(iters + 1)
+        val perIter = drainIterMs(done + 1)
         iterSamples ++= perIter
+        trialMeds += median(perIter)
+        val capped = if (done < iters) s" CAPPED at $done/$iters iters" else ""
         System.err.println(f"[scaling] cpus=$cpus trial=$t ${dt}%.2fs " +
-          f"iterMed=${median(perIter)}%.0fms (${perIter.size} samples)")
+          f"iterMed=${median(perIter)}%.0fms (${perIter.size} samples)$capped")
         // reap the trial's shuffle files from the tmpfs dir before the
         // next trial (the timing above has already been taken)
         System.gc(); Thread.sleep(1000)
-        dt
+        // full-equivalent wall: truncated trials are normalized to the
+        // nominal iteration count so min-over-trials compares like walls
+        dt * iters / math.max(1, done)
       }
       unpersist()
       RunResult(cpus, nV, nE, iters, trialSecs.min, trialSecs,
-        iterSamples.toSeq)
+        iterSamples.toSeq, trialMeds.toSeq)
     } finally spark.stop()
   }
 
@@ -444,12 +489,13 @@ object Scaling {
 
   def runForked(cpus: Int, nConv: Long, iters: Int,
                 edgesDir: Option[String] = None,
-                forkIdx: Int = 0): RunResult = {
+                forkIdx: Int = 0, trials: Option[Int] = None): RunResult = {
     val out = fork(Map(
       "SPARK_GRAFT_SCALE_CPUS" -> cpus.toString,
       "SPARK_GRAFT_SCALE_CONVS" -> nConv.toString,
       "SPARK_GRAFT_SCALE_ITERS" -> iters.toString,
       "SPARK_GRAFT_SCALE_FORK_IDX" -> forkIdx.toString) ++
+      trials.map("SPARK_GRAFT_SCALE_TRIALS" -> _.toString) ++
       edgesDir.map("SPARK_GRAFT_SCALE_EDGES_DIR" -> _))
     def field(k: String): String =
       s""""$k":([0-9.]+)""".r.findFirstMatchIn(out)
@@ -460,7 +506,7 @@ object Scaling {
         .getOrElse(Nil)
     RunResult(cpus, field("vertices").toLong, field("edges").toLong,
       field("pr_iters").toInt, field("seconds").toDouble,
-      arr("trial_secs"), arr("iter_ms"))
+      arr("trial_secs"), arr("iter_ms"), arr("trial_iter_meds"))
   }
 
   /** The headline two-parallelism evidence: every leg in a fresh JVM over
@@ -504,7 +550,10 @@ object Scaling {
     def medHiMs: Double = levelMedMs(hiForks)
     def effRobust: Double = (medLoMs / medHiMs) / (cpusHi.toDouble / cpusLo)
     def effWall: Double =
-      (lo.seconds / hi.seconds) / (cpusHi.toDouble / cpusLo)
+      // per-ITERATION walls: with equal-wall trials the legs run different
+      // iteration counts, so raw trial walls are not comparable
+      ((lo.seconds / lo.iters) / (hi.seconds / hi.iters)) /
+        (cpusHi.toDouble / cpusLo)
     /** raw ratio: robust when per-iteration samples exist, else wall */
     def eff: Double = if (effRobust.isNaN) effWall else effRobust
     /** HEADLINE efficiency: the raw ratio capped at 1.0. On one box the
@@ -558,7 +607,14 @@ object Scaling {
       // warmup), the input to deadline-aware launching below
       val maxLegSec = scala.collection.mutable.Map(
         cpusLo -> 0.0, cpusHi -> 0.0)
-      def runLeg(k: Int, c: Int): Unit = {
+      // EQUAL-WALL trials: scale each leg's per-trial iteration count by
+      // its parallelism so every trial spans the same wall window (lo 40
+      // iters ≈ hi 160 iters ≈ 45 s quiet). The per-iteration median is
+      // then equally burst-robust at both levels — see the trial-count
+      // comment in run(). The efficiency statistic is per-ITERATION time,
+      // so unequal counts never enter the ratio.
+      def legIters(c: Int): Int = math.max(1, iters * c / cpusLo)
+      def runLeg(k: Int, c: Int, trials: Option[Int] = None): Unit = {
         val t0 = System.nanoTime()
         // a single crashed/killed/hung child must never discard the forks
         // already measured (the statistic is an independent min-over-forks
@@ -566,7 +622,8 @@ object Scaling {
         // its wall to the leg's cost estimate, and let later pairs or the
         // extra-leg hunt redraw this level
         try {
-          val r = runForked(c, nConv, iters, Some(edgesDir), forkIdx = k)
+          val r = runForked(c, nConv, legIters(c), Some(edgesDir),
+            forkIdx = k, trials = trials)
           val wall = (System.nanoTime() - t0) / 1e9
           maxLegSec(c) = math.max(maxLegSec(c), wall)
           if (c == cpusLo) loF :+= r else hiF :+= r
@@ -621,19 +678,32 @@ object Scaling {
         if (loF.isEmpty) cpusLo
         else if (hiF.isEmpty) cpusHi
         else if (effOpt.get > 1.05) cpusLo else cpusHi
+      // a short 1-trial redraw costs roughly prep + warmup + one trial —
+      // ~60% of a full 3-trial leg. For a MIN statistic more independent
+      // draws beat more trials per draw, so when the deadline can no
+      // longer fit a full redraw, spend what remains on short ones
+      def shortLegCost(c: Int): Double = maxLegSec(c) * 0.6
       var extra = 0
-      while (extra < maxExtra && offTarget && fits(maxLegSec(retryCpus))) {
-        extra += 1
-        k += 1
+      var budgetLeft = true
+      while (extra < maxExtra && offTarget && budgetLeft) {
         val c = retryCpus
-        System.err.println(f"[scaling] eff=${effOpt.getOrElse(Double.NaN)}%.3f " +
-          f"off target [$target%.2f, 1.05] — extra cpus=$c leg, fork $k")
-        runLeg(k, c)
+        val full = fits(maxLegSec(c))
+        if (!full && !fits(shortLegCost(c))) budgetLeft = false
+        else {
+          extra += 1
+          k += 1
+          System.err.println(
+            f"[scaling] eff=${effOpt.getOrElse(Double.NaN)}%.3f " +
+            f"off target [$target%.2f, 1.05] — extra cpus=$c " +
+            s"${if (full) "leg" else "SHORT (1-trial) leg"}, fork $k")
+          runLeg(k, c, trials = if (full) None else Some(1))
+        }
       }
       if (offTarget)
         System.err.println(f"[scaling] emitting off-target " +
           f"eff=${effOpt.getOrElse(Double.NaN)}%.3f " +
-          s"(budget: extra=$extra/$maxExtra, fits=${fits(maxLegSec(retryCpus))})")
+          s"(budget: extra=$extra/$maxExtra, " +
+          s"fits=${fits(shortLegCost(retryCpus))})")
       require(loF.nonEmpty && hiF.nonEmpty, "every scaling fork at " +
         s"${if (loF.isEmpty) cpusLo else cpusHi} cpus failed — no data to emit")
       // the 8→32 pair is OPT-IN (SPARK_GRAFT_SCALE_SECONDARY=1): it is
@@ -647,9 +717,9 @@ object Scaling {
           // is diagnostic only, and a crashed 8/32 child must never
           // discard the fully-measured primary result (fork indices
           // continue past the hunt so failure injection cannot collide)
-          val lo8 = runForked(8, nConv, iters, Some(edgesDir),
+          val lo8 = runForked(8, nConv, legIters(8), Some(edgesDir),
             forkIdx = k + 1)
-          val hi32 = runForked(32, nConv, iters, Some(edgesDir),
+          val hi32 = runForked(32, nConv, legIters(32), Some(edgesDir),
             forkIdx = k + 2)
           Some(json(PairResult(Seq(lo8), Seq(hi32), 8, 32)))
         } catch { case scala.util.control.NonFatal(e) =>
@@ -675,7 +745,8 @@ object Scaling {
     val ipsHi = if (pr.medHiMs.isNaN) hi.itersPerSec else 1000.0 / pr.medHiMs
     val head =
       s"""{"cpus_lo":${pr.cpusLo},"cpus_hi":${pr.cpusHi},""" +
-      s""""vertices":${lo.vertices},"edges":${lo.edges},"pr_iters":${lo.iters},""" +
+      s""""vertices":${lo.vertices},"edges":${lo.edges},""" +
+      s""""pr_iters":${lo.iters},"pr_iters_hi":${hi.iters},""" +
       s""""sec_lo":${f"${lo.seconds}%.2f"},"sec_hi":${f"${hi.seconds}%.2f"},""" +
       s""""iters_per_sec_lo":${f"$ipsLo%.3f"},""" +
       s""""iters_per_sec_hi":${f"$ipsHi%.3f"},""" +
@@ -689,7 +760,7 @@ object Scaling {
       s""""trials_hi":${jsonArr(pr.hiForks.flatMap(_.trialSecs))},""" +
       s""""forks_lo":${pr.loForks.size},"forks_hi":${pr.hiForks.size},""" +
       s""""wall_scaling_efficiency":${f"${pr.effWall}%.3f"},""" +
-      s""""protocol":"median per-iteration stage time per fork, min of fork medians per level; wall = min trial; headline capped at 1.0 (super-unit = lo-leg noise)",""" +
+      s""""protocol":"equal-wall trials (per-trial iters scaled by parallelism); median per-iteration stage time per fork, min of fork medians per level; wall = min trial normalized per iteration; headline capped at 1.0 (super-unit = lo-leg noise)",""" +
       s""""scaling_efficiency_raw":${f"${pr.eff}%.3f"},""" +
       s""""scaling_efficiency":${f"${pr.effCapped}%.3f"}}"""
     pr.secondary match {
@@ -833,6 +904,7 @@ object Scaling {
           s""""seconds":${f"${r.seconds}%.2f"},""" +
           s""""iters_per_sec":${f"${r.itersPerSec}%.3f"},""" +
           s""""trial_secs":${jsonArr(r.trialSecs)},""" +
+          s""""trial_iter_meds":${jsonArr(r.trialIterMeds, "%.1f")},""" +
           s""""iter_ms":${jsonArr(r.iterMs, "%.1f")}}""")
       case None if sys.env.get("SPARK_GRAFT_SCALE_FORKED").contains("1") =>
         val cpusLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt

@@ -68,6 +68,27 @@ class ScalingStatsSpec extends AnyFunSuite {
     assert(math.abs(pr.effWall - pr.eff) < 1e-12)
   }
 
+  test("iterMedianMs prefers explicit per-trial medians (capped trials)") {
+    // flat samples would regroup as trials of 3 and read min 20; the
+    // explicit medians (e.g. from a wall-capped trial with fewer samples)
+    // must win
+    val r = RunResult(4, 10, 10, 3, 1.0, Seq(1.0),
+      iterMs = Seq(20, 20, 20, 700, 700, 700),
+      trialIterMeds = Seq(25.0, 700.0))
+    assert(r.iterMedianMs == 25.0)
+  }
+
+  test("effWall normalizes per iteration when legs run unequal counts") {
+    // equal-wall trials: lo 40 iters in 8 s, hi 160 iters in 8 s
+    // per-iter lo 0.2 s, hi 0.05 s -> (0.2/0.05)/4 = 1.0 exactly; the
+    // un-normalized wall ratio would read (8/8)/4 = 0.25
+    val pr = PairResult(
+      loForks = Seq(RunResult(4, 10, 10, 40, 8.0)),
+      hiForks = Seq(RunResult(16, 10, 10, 160, 8.0)),
+      cpusLo = 4, cpusHi = 16)
+    assert(math.abs(pr.effWall - 1.0) < 1e-12)
+  }
+
   test("json emits the headline, raw, wall and per-fork evidence fields") {
     val pr = PairResult(
       loForks = Seq(fork(4, 3, Seq(400, 400, 400), 1.2)),
