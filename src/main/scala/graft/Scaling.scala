@@ -740,7 +740,9 @@ object Scaling {
     val lo = pr.lo; val hi = pr.hi
     // throughput numbers (iters/sec, TEPS) derive from the ROBUST per-
     // iteration estimate so they are consistent with the headline
-    // efficiency; sec_lo/sec_hi stay the raw min trial walls
+    // efficiency; sec_lo/sec_hi are min full-equivalent trial walls
+    // (wall-capped truncated trials normalized to the nominal iteration
+    // count so min-over-trials compares like walls)
     val ipsLo = if (pr.medLoMs.isNaN) lo.itersPerSec else 1000.0 / pr.medLoMs
     val ipsHi = if (pr.medHiMs.isNaN) hi.itersPerSec else 1000.0 / pr.medHiMs
     val head =
