@@ -101,15 +101,15 @@ object Bench {
     val scaling =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) "null"
       else {
-        // 3M convs × 600 turns ≈ 261M canonical edges at avg degree ~170:
-        // per-iteration parallel work W/c must dominate the ~25-30 ms/iter
-        // stage fixed cost for the efficiency bar — measured this round,
-        // doubling the graph from 130M to 261M edges moved the same
-        // protocol from 0.798 to ~0.85-0.9 (the lo leg doubles cleanly,
-        // 367→735 ms/iter, while the hi leg's fixed-cost share halves);
-        // density (not vertex count) raises W per heap byte, keeping the
-        // persisted CSR state inside the default 20g child heap
-        val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "3000000").toLong
+        // 6M convs × 600 turns ≈ 522M canonical / ~1.04 × 10^9 DIRECTED
+        // edges — the north rule's literal "10^9 edges" scale. Bigger is
+        // also better for the efficiency bar: per-iteration parallel work
+        // W/c must dominate the ~25-30 ms/iter stage fixed cost, and each
+        // doubling (130M → 261M edges moved the protocol from 0.798 to
+        // ~0.85-0.9) halves the hi leg's fixed-cost share while the lo leg
+        // scales cleanly; density (not vertex count) raises W per heap
+        // byte, keeping the persisted CSR state inside the 30g child heap
+        val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "6000000").toLong
         val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "40").toInt
         try {
           Scaling.json(Scaling.pairForked(nConv = nConv, iters = iters))

@@ -35,11 +35,17 @@ object Scaling {
       * samples); falls back to regrouping the flat samples by nominal
       * trial length for older inputs. NaN if samples are unavailable.
       */
-    def iterMedianMs: Double =
-      if (trialIterMeds.nonEmpty) trialIterMeds.min
+    def iterMedianMs: Double = {
+      // NaN-guard both layers: a trial whose listener drain came back empty
+      // contributes median(Nil)=NaN, and an all-NaN trialIterMeds must fall
+      // through to regrouping the flat samples, not poison the min
+      val finiteMeds = trialIterMeds.filterNot(_.isNaN)
+      if (finiteMeds.nonEmpty) finiteMeds.min
       else if (iterMs.isEmpty) Double.NaN
       else iterMs.grouped(math.max(1, iters))
-        .map(g => Scaling.median(g)).min
+        .map(g => Scaling.median(g)).filterNot(_.isNaN)
+        .minOption.getOrElse(Double.NaN)
+    }
   }
 
   private[graft] def median(xs: Seq[Double]): Double =
@@ -370,16 +376,27 @@ object Scaling {
       val trialSecs = (1 to trials).map { t =>
         val t0 = System.nanoTime()
         var done = 0
+        var nChunks = 0
         while (done < iters && (done == 0 ||
             (System.nanoTime() - t0) / 1e9 < trialCapSec)) {
           val n = math.min(chunk, iters - done)
           force(iterate(n))
           done += n
+          nChunks += 1
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        val perIter = drainIterMs(done + 1)
+        // expected listener events: one map stage per iteration PLUS one
+        // result stage per chunk (each force() ends in its own result
+        // stage) — waiting for done+1 undercounted chunked trials, so the
+        // drain could return before the final chunk's events posted,
+        // leaking its map samples (plus an inter-trial-gap outlier) into
+        // the next trial's median
+        val perIter = drainIterMs(done + nChunks)
         iterSamples ++= perIter
-        trialMeds += median(perIter)
+        // median(Nil) is NaN — appending it would serialize invalid bare
+        // NaN into the child's JSON line; skip empty drains instead
+        val med = median(perIter)
+        if (!med.isNaN) trialMeds += med
         val capped = if (done < iters) s" CAPPED at $done/$iters iters" else ""
         System.err.println(f"[scaling] cpus=$cpus trial=$t ${dt}%.2fs " +
           f"iterMed=${median(perIter)}%.0fms (${perIter.size} samples)$capped")
@@ -430,7 +447,12 @@ object Scaling {
         a.startsWith("-Xmx") || a.startsWith("-Xms") ||
         // the children run ZGC (below) — drop any inherited GC choice
         (a.startsWith("-XX:+Use") && a.endsWith("GC")))
-    val heap = sys.env.getOrElse("SPARK_GRAFT_SCALE_HEAP", "20g")
+    // 30g: the 6M-conv headline graph (~522M canonical / ~1.04G directed
+    // edges) carries ~13 GB of persisted per-block CSR state plus the
+    // per-iteration message churn — 20g ran ZGC at the allocation-stall
+    // edge. Stay under ~40g: ZGC multi-maps the heap and a 40g+ commit
+    // overflows this box's vm.max_map_count (fatal map failure)
+    val heap = sys.env.getOrElse("SPARK_GRAFT_SCALE_HEAP", "30g")
     val cmd = Seq(javaBin) ++ jvmArgs ++
       // concurrent GC: each measured stage allocates ~325 MB of message
       // arrays; G1's stop-the-world young pauses were a per-STAGE fixed
@@ -548,6 +570,15 @@ object Scaling {
     }
     def medLoMs: Double = levelMedMs(loForks)
     def medHiMs: Double = levelMedMs(hiForks)
+    /** best-two fork-median agreement gap per level (the convergence
+      * statistic the redraw hunt stops on); +inf below 2 finite medians */
+    private def gap(rs: Seq[RunResult]): Double = {
+      val meds = rs.map(_.iterMedianMs).filterNot(_.isNaN).sorted
+      if (meds.size < 2) Double.PositiveInfinity
+      else meds(1) / meds(0) - 1.0
+    }
+    def gapLo: Double = gap(loForks)
+    def gapHi: Double = gap(hiForks)
     def effRobust: Double = (medLoMs / medHiMs) / (cpusHi.toDouble / cpusLo)
     def effWall: Double =
       // per-ITERATION walls: with equal-wall trials the legs run different
@@ -570,15 +601,18 @@ object Scaling {
   def pairForked(cpusLo: Int = 4, cpusHi: Int = 16, nConv: Long,
                  iters: Int): PairResult = {
     // the prep dir is KEPT across bench runs (prep-key idempotence in
-    // prepEdges): at the default 3M convs the synth+derive+CSR build is
-    // ~18 min of wall the driver's timed bench window cannot afford to
+    // prepEdges): at the default 6M convs the synth+derive+CSR build is
+    // ~35-40 min of wall the driver's timed bench window cannot afford to
     // re-pay every round — the key line guarantees a stale dir (different
     // synth params/layout) is rebuilt, so persistence is safe. It lives
     // OUTSIDE target/ (git-ignored): an innocent `sbt clean` deleted
     // target/scaling-edges and silently re-charged the 18-minute prep to
     // the next bench run's deadline
+    // dir is keyed by nConv so differently-sized headline graphs (e.g. the
+    // 3M round-4 graph vs the 6M ≈10^9-directed-edge round-5 graph) never
+    // clobber each other's multi-GB prep
     val edgesDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_PREP_DIR",
-      new java.io.File(".bench-cache/scaling-edges").getAbsolutePath)
+      new java.io.File(s".bench-cache/scaling-edges-$nConv").getAbsolutePath)
     fork(Map("SPARK_GRAFT_SCALE_MODE" -> "prep",
       "SPARK_GRAFT_SCALE_CONVS" -> nConv.toString,
       "SPARK_GRAFT_SCALE_EDGES_DIR" -> edgesDir))
@@ -662,22 +696,37 @@ object Scaling {
       if (k < forks)
         System.err.println(s"[scaling] deadline: stopped after $k/$forks " +
           "base fork pairs — emitting with what we have")
-      // retry when the estimate is off the credible band: under target
-      // (the HI level's min-median is still noise-inflated) or implausibly
-      // superlinear > 1.05 (the LO level's is). Retries re-run ONLY the
-      // implicated leg — the statistic is an independent min-over-forks
-      // per level, so extra draws at one level are valid and cost half a
-      // pair, which is what lets the hunt fit the deadline at all.
-      // None while either level has zero successful forks (a crashed leg)
+      // CONVERGENCE stopping rule (replaces the round-4 stop-on-pass):
+      // the old hunt redrew only while the headline sat outside the pass
+      // band [target, 1.05] — adaptive optional stopping on a min
+      // statistic, which monotonically favors the pass and biases the
+      // reported efficiency upward. The redraw criterion is now purely
+      // statistical and band-blind: a level is DONE when its two best
+      // fork medians agree within convTol (default 5%); extras go to
+      // whichever level is not yet converged (no-data levels first),
+      // and the hunt stops the moment BOTH levels converge — wherever
+      // the ratio then lands, in band or not. The target band survives
+      // only in diagnostics (logged per redraw).
       def effOpt: Option[Double] =
         if (loF.isEmpty || hiF.isEmpty) None
         else Some(PairResult(loF, hiF, cpusLo, cpusHi).eff)
-      def offTarget: Boolean = effOpt.forall(e => e < target || e > 1.05)
-      // redraw priority: a level with NO data yet, then the implicated one
+      val convTol =
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_CONV_TOL", "0.05").toDouble
+      // best-two agreement gap, +inf while a level has <2 finite medians
+      def convGap(rs: Seq[RunResult]): Double = {
+        val meds = rs.map(_.iterMedianMs).filterNot(_.isNaN).sorted
+        if (meds.size < 2) Double.PositiveInfinity
+        else meds(1) / meds(0) - 1.0
+      }
+      def converged(rs: Seq[RunResult]): Boolean = convGap(rs) <= convTol
+      // redraw priority: a level with NO data, then the level further
+      // from converging (its min-median is the less trustworthy one)
       def retryCpus: Int =
         if (loF.isEmpty) cpusLo
         else if (hiF.isEmpty) cpusHi
-        else if (effOpt.get > 1.05) cpusLo else cpusHi
+        else if (convGap(loF) > convGap(hiF)) cpusLo else cpusHi
+      def allConverged: Boolean =
+        loF.nonEmpty && hiF.nonEmpty && converged(loF) && converged(hiF)
       // a short 1-trial redraw costs roughly prep + warmup + one trial —
       // ~60% of a full 3-trial leg. For a MIN statistic more independent
       // draws beat more trials per draw, so when the deadline can no
@@ -685,7 +734,7 @@ object Scaling {
       def shortLegCost(c: Int): Double = maxLegSec(c) * 0.6
       var extra = 0
       var budgetLeft = true
-      while (extra < maxExtra && offTarget && budgetLeft) {
+      while (extra < maxExtra && !allConverged && budgetLeft) {
         val c = retryCpus
         val full = fits(maxLegSec(c))
         if (!full && !fits(shortLegCost(c))) budgetLeft = false
@@ -694,14 +743,16 @@ object Scaling {
           k += 1
           System.err.println(
             f"[scaling] eff=${effOpt.getOrElse(Double.NaN)}%.3f " +
-            f"off target [$target%.2f, 1.05] — extra cpus=$c " +
+            f"gap(lo)=${convGap(loF)}%.3f gap(hi)=${convGap(hiF)}%.3f " +
+            f"(tol $convTol%.2f, band [$target%.2f, 1.05]) — extra cpus=$c " +
             s"${if (full) "leg" else "SHORT (1-trial) leg"}, fork $k")
           runLeg(k, c, trials = if (full) None else Some(1))
         }
       }
-      if (offTarget)
-        System.err.println(f"[scaling] emitting off-target " +
+      if (!allConverged)
+        System.err.println(f"[scaling] emitting UNCONVERGED " +
           f"eff=${effOpt.getOrElse(Double.NaN)}%.3f " +
+          f"gap(lo)=${convGap(loF)}%.3f gap(hi)=${convGap(hiF)}%.3f " +
           s"(budget: extra=$extra/$maxExtra, " +
           s"fits=${fits(shortLegCost(retryCpus))})")
       require(loF.nonEmpty && hiF.nonEmpty, "every scaling fork at " +
@@ -760,9 +811,16 @@ object Scaling {
       s""""fork_iter_med_hi":${jsonArr(pr.hiForks.map(_.iterMedianMs), "%.1f")},""" +
       s""""trials_lo":${jsonArr(pr.loForks.flatMap(_.trialSecs))},""" +
       s""""trials_hi":${jsonArr(pr.hiForks.flatMap(_.trialSecs))},""" +
+      // trials actually run per fork: short (1-trial) deadline redraws are
+      // visible here instead of hiding behind the aggregate fork counts
+      s""""fork_trials_lo":${pr.loForks.map(_.trialSecs.size).mkString("[", ",", "]")},""" +
+      s""""fork_trials_hi":${pr.hiForks.map(_.trialSecs.size).mkString("[", ",", "]")},""" +
       s""""forks_lo":${pr.loForks.size},"forks_hi":${pr.hiForks.size},""" +
+      // null when a level has <2 finite fork medians (gap is undefined)
+      s""""conv_gap_lo":${if (pr.gapLo.isInfinite) "null" else f"${pr.gapLo}%.4f"},""" +
+      s""""conv_gap_hi":${if (pr.gapHi.isInfinite) "null" else f"${pr.gapHi}%.4f"},""" +
       s""""wall_scaling_efficiency":${f"${pr.effWall}%.3f"},""" +
-      s""""protocol":"equal-wall trials (per-trial iters scaled by parallelism); median per-iteration stage time per fork, min of fork medians per level; wall = min trial normalized per iteration; headline capped at 1.0 (super-unit = lo-leg noise)",""" +
+      s""""protocol":"equal-wall trials (per-trial iters scaled by parallelism); median per-iteration stage time per fork, min of fork medians per level; redraws stop on best-two fork-median convergence (tol 5%), band-blind; wall = min trial normalized per iteration; headline capped at 1.0 (super-unit = lo-leg noise)",""" +
       s""""scaling_efficiency_raw":${f"${pr.eff}%.3f"},""" +
       s""""scaling_efficiency":${f"${pr.effCapped}%.3f"}}"""
     pr.secondary match {
@@ -772,7 +830,7 @@ object Scaling {
   }
 
   def main(args: Array[String]): Unit = {
-    val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "3000000").toLong
+    val nConv = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "6000000").toLong
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "40").toInt
     if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("prep")) {
       prepEdges(nConv, sys.env("SPARK_GRAFT_SCALE_EDGES_DIR"))

@@ -107,7 +107,14 @@ object EventsGraph {
     val cur = memo.get(k)
     if (cur != null) cur
     else {
+      // derivation cost to stderr: the FIRST query to need this
+      // intermediate pays it inside its own wall (bench timings are
+      // therefore order-dependent for memo-sharing query families — the
+      // line makes the shared cost auditable instead of invisible)
+      val t0 = System.nanoTime()
       val v = f
+      System.err.println(
+        f"[memo] derived $key ($sfDir) in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       val prev = memo.putIfAbsent(k, v)
       if (prev != null) prev else v
     }

@@ -101,26 +101,40 @@ object Refinement {
       (0 until k).foldLeft(lit(Long.MinValue)) { (e, p) =>
         when(keyCol === p, lit(values(p))).otherwise(e)
       }
-    // ONE action per pass for both metrics (edge-cut + imbalance under
-    // targets): the two aggregates ride a tagged union — per-pass driver
-    // job count is the BSP loop's fixed cost, so metrics are batched
-    def cutAndImbalance(a: DataFrame): (Long, Double) = {
+    // ONE action per pass for all three outputs (edge-cut, imbalance under
+    // targets, AND the full per-(part, constraint) weights): the aggregates
+    // ride a tagged union — per-pass driver job count is the BSP loop's
+    // fixed cost, so metrics are batched. The weights are returned so the
+    // hill phase can reuse the best assignment's pwgts instead of re-running
+    // the same |V|-row join+agg (the greedy admit and this metric already
+    // paid for it).
+    def cutAndImbalance(a: DataFrame): (Long, Double, Array[Array[Long]]) = {
       val cutDf = edges
         .join(dim(a.select(col("vid").as("src"), col("part").as("sp"))), "src")
         .join(dim(a.select(col("vid").as("dst"), col("part").as("dp"))), "dst")
         .filter(col("sp") =!= col("dp"))
         .agg(coalesce(sum(col("wgt")), lit(0L)).as("v"))
-        .select(lit(-1L).as("k"), col("v"))
+        .select(lit(-1L).as("k"),
+          array((col("v") +: Seq.fill(ncon - 1)(lit(0L))): _*).as("vs"))
       val pwDf = a.join(dim(vw), "vid").groupBy(col("part"))
-        .agg(sum(wc(0)).as("v"))
-        .select(col("part").cast("long").as("k"), col("v"))
+        .agg((0 until ncon).map(c => sum(wc(c)).as(s"v$c")).head,
+          (0 until ncon).map(c => sum(wc(c)).as(s"v$c")).tail: _*)
+        .select(col("part").cast("long").as("k"),
+          array((0 until ncon).map(c => col(s"v$c")): _*).as("vs"))
       val rows = cutDf.unionByName(pwDf).collect()
-      val cut = rows.find(_.getLong(0) == -1L).map(_.getLong(1)).getOrElse(0L)
+      val cut = rows.find(_.getLong(0) == -1L)
+        .map(_.getSeq[Long](1).head).getOrElse(0L)
       val pws = rows.filter(_.getLong(0) >= 0)
+      val pw = Array.ofDim[Long](k, ncon)
+      pws.foreach { r =>
+        val p = r.getLong(0).toInt
+        val vs = r.getSeq[Long](1)
+        (0 until ncon).foreach(c => pw(p)(c) = vs(c))
+      }
       val imb = if (pws.isEmpty) 1.0
-        else pws.map(r => r.getLong(1).toDouble /
+        else pws.map(r => r.getSeq[Long](1).head.toDouble /
           (tgt(r.getLong(0).toInt) * tv(0))).max
-      (cut, imb)
+      (cut, imb, pw)
     }
 
     var best = assign0.select(col("vid"), col("part")).ckpt()
@@ -242,7 +256,8 @@ object Refinement {
     // same boundary cannot swap past each other in one BSP step. Returns
     // None when no hill is admitted.
     def hillMoves(a: DataFrame, phase: Int, rounds: Int = 4,
-                  maxHill: Int = 16): Option[DataFrame] = {
+                  maxHill: Int = 16,
+                  pwIn: Array[Array[Long]] = null): Option[DataFrame] = {
       val nbr = sym
         .join(dim(a.select(col("vid").as("dst"), col("part").as("dpart"))),
           "dst")
@@ -384,13 +399,19 @@ object Refinement {
       val units = hills.join(hw, "cid")
         .withColumn("vwgts",
           array((0 until ncon).map(c => col(s"hw$c")): _*))
-      val pwRows = a.join(dim(vw), "vid").groupBy(col("part"))
-        .agg((0 until ncon).map(c => sum(wc(c)).as(s"pw$c")).head,
-          (0 until ncon).map(c => sum(wc(c)).as(s"pw$c")).tail: _*).collect()
-      val pw = Array.ofDim[Long](k, ncon)
-      pwRows.foreach { r =>
-        val p = r.get(0).toString.toInt
-        (0 until ncon).foreach(c => pw(p)(c) = r.getLong(c + 1))
+      // phase-start pwgts: reuse the caller's (cutAndImbalance already
+      // aggregated them for this exact assignment); recompute only when the
+      // caller has none yet (hills on a never-measured assignment)
+      val pw = if (pwIn != null) pwIn else {
+        val pwRows = a.join(dim(vw), "vid").groupBy(col("part"))
+          .agg((0 until ncon).map(c => sum(wc(c)).as(s"pw$c")).head,
+            (0 until ncon).map(c => sum(wc(c)).as(s"pw$c")).tail: _*).collect()
+        val arr = Array.ofDim[Long](k, ncon)
+        pwRows.foreach { r =>
+          val p = r.get(0).toString.toInt
+          (0 until ncon).foreach(c => arr(p)(c) = r.getLong(c + 1))
+        }
+        arr
       }
       val wTo = Window.partitionBy(col("to"))
         .orderBy(col("gain").desc, col("cid"))
@@ -424,12 +445,15 @@ object Refinement {
     var cur = best
     var pass = 0
     var improved = true
+    // per-part weights of the CURRENT best assignment (threaded into the
+    // hill phases); null until the first cutAndImbalance measures it
+    var bestPw: Array[Array[Long]] = null
     while (pass < passes && improved) {
       val tPass = System.nanoTime()
       val in = cur
       cur = onePass(in)
       if (in ne best) graft.plans.Plans.unpersist(in)
-      val (cut, imb) = cutAndImbalance(cur)
+      val (cut, imb, pwCur) = cutAndImbalance(cur)
       val better = cut < bestCut && imb <= ubFactor + 1e-9
       // convergence stop: keep ANY improvement, but only spend another
       // full-edge-scan pass when this one beat the relative floor
@@ -439,7 +463,7 @@ object Refinement {
       improved = better && cut + (bestCut * minImpFrac).toLong < bestCut
       if (better) {
         val oldBest = best
-        bestCut = cut; best = cur
+        bestCut = cut; best = cur; bestPw = pwCur
         if (oldBest ne cur) graft.plans.Plans.unpersist(oldBest)
       }
       System.err.println(f"[refine] pass=$pass nV=$nV cut=$cut " +
@@ -457,13 +481,13 @@ object Refinement {
     // the coarse levels where moves are coupled (and cost ~nothing there)
     for (hsPhase <- 0 to 1 if nV <= hillMaxVerts) {
       val tHill = System.nanoTime()
-      hillMoves(best, hsPhase).foreach { afterHills =>
+      hillMoves(best, hsPhase, pwIn = bestPw).foreach { afterHills =>
         val next = onePass(afterHills)
         graft.plans.Plans.unpersist(afterHills)
-        val (cut, imb) = cutAndImbalance(next)
+        val (cut, imb, pwNext) = cutAndImbalance(next)
         if (cut < bestCut && imb <= ubFactor + 1e-9) {
           val oldBest = best
-          bestCut = cut; best = next
+          bestCut = cut; best = next; bestPw = pwNext
           graft.plans.Plans.unpersist(oldBest)
         } else graft.plans.Plans.unpersist(next)
       }

@@ -99,11 +99,17 @@ final class Checkpointer(spark: SparkSession, root: String,
       val p = Paths.get(root, step)
       if (!Files.exists(p)) None
       else {
-        val iters = Files.list(p).toArray.map(_.toString)
-          .flatMap { d =>
-            val n = d.substring(d.lastIndexOf("iter=") + 5)
-            if (Files.exists(Paths.get(d, "_SUCCESS"))) Some(n.toInt) else None
-          }
+        // Files.list holds an open directory fd until the stream is closed —
+        // a resume-polling driver calling latest() in a loop leaks one fd
+        // per call without the explicit close
+        val stream = Files.list(p)
+        val dirs =
+          try stream.toArray.map(_.toString)
+          finally stream.close()
+        val iters = dirs.flatMap { d =>
+          val n = d.substring(d.lastIndexOf("iter=") + 5)
+          if (Files.exists(Paths.get(d, "_SUCCESS"))) Some(n.toInt) else None
+        }
         if (iters.isEmpty) None else Some(iters.max)
       }
     }
