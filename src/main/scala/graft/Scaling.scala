@@ -159,15 +159,34 @@ object Scaling {
       System.err.println(s"[scaling] prep reused ($prepKey)")
       return
     }
-    val spark = session(Runtime.getRuntime.availableProcessors())
+    // cores override for the prep session: the per-block CSR state build
+    // runs one multi-GB assembly task per block, so at 10^9-directed-edge
+    // scale full parallelism can put 16 concurrent multi-GB tasks on the
+    // heap at once — fewer cores trade untimed prep wall for peak memory
+    val prepCpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_PREP_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = session(prepCpus)
     try {
       val maxTurns = sys.env.getOrElse("SPARK_GRAFT_SCALE_TURNS", "600").toInt
-      val ts = Transcripts.synthesize(spark, nConv, maxTurns = maxTurns)
-      val dict = EdgeDeriver.vertices(ts)
-      EdgeDeriver.simpleGraph(EdgeDeriver.edges(ts, dict))
-        .write.mode("overwrite").parquet(s"$outDir/edges")
-      dict.select(col("vid")).write.mode("overwrite")
-        .parquet(s"$outDir/vids")
+      // stage-level resume: the synth+derive of the edge/vid tables is the
+      // long half of prep (~25 min at 6M convs) and depends only on the
+      // synth params — if a previous prep crashed AFTER writing them (e.g.
+      // OOM in the state build), reuse them instead of re-deriving
+      val edgesKey = s"nConv=$nConv turns=$maxTurns"
+      val edgesKeyPath = java.nio.file.Paths.get(s"$outDir/edges-key.txt")
+      val haveEdges = java.nio.file.Files.exists(edgesKeyPath) &&
+        java.nio.file.Files.readString(edgesKeyPath).trim == edgesKey
+      if (haveEdges)
+        System.err.println(s"[scaling] edge tables reused ($edgesKey)")
+      else {
+        val ts = Transcripts.synthesize(spark, nConv, maxTurns = maxTurns)
+        val dict = EdgeDeriver.vertices(ts)
+        EdgeDeriver.simpleGraph(EdgeDeriver.edges(ts, dict))
+          .write.mode("overwrite").parquet(s"$outDir/edges")
+        dict.select(col("vid")).write.mode("overwrite")
+          .parquet(s"$outDir/vids")
+        java.nio.file.Files.writeString(edgesKeyPath, edgesKey + "\n")
+      }
       // "direct" kernel legs load the PREPARED per-block state instead of
       // rebuilding it: the routing build + tiled counting sort cost ~10
       // min at 4 threads (untimed, but it is wall-clock the whole bench
@@ -450,9 +469,12 @@ object Scaling {
     // 30g: the 6M-conv headline graph (~522M canonical / ~1.04G directed
     // edges) carries ~13 GB of persisted per-block CSR state plus the
     // per-iteration message churn — 20g ran ZGC at the allocation-stall
-    // edge. Stay under ~40g: ZGC multi-maps the heap and a 40g+ commit
-    // overflows this box's vm.max_map_count (fatal map failure)
-    val heap = sys.env.getOrElse("SPARK_GRAFT_SCALE_HEAP", "30g")
+    // edge. Stay under ~40g for ZGC children: ZGC multi-maps the heap and
+    // a 40g+ commit overflows this box's vm.max_map_count (fatal map
+    // failure). The per-call env map wins over the parent's environment so
+    // the G1 prep child can get a larger heap than the measured ZGC legs.
+    val heap = env.getOrElse("SPARK_GRAFT_SCALE_HEAP",
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_HEAP", "30g"))
     val cmd = Seq(javaBin) ++ jvmArgs ++
       // concurrent GC: each measured stage allocates ~325 MB of message
       // arrays; G1's stop-the-world young pauses were a per-STAGE fixed
@@ -613,9 +635,19 @@ object Scaling {
     // clobber each other's multi-GB prep
     val edgesDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_PREP_DIR",
       new java.io.File(s".bench-cache/scaling-edges-$nConv").getAbsolutePath)
+    // prep child: G1 with a large heap and GCLocker retries (it measures
+    // nothing — only the measured ZGC legs need pause-free GC). At 6M
+    // convs the 16 concurrent per-block assembly tasks OOM'd a 40g heap;
+    // 64g + GCLockerRetryAllocationCount=64 (lz4 JNI critical sections vs
+    // humongous long[] allocations, same lesson as the partition fork)
+    // clears it. No-op when the prep-key already matches.
     fork(Map("SPARK_GRAFT_SCALE_MODE" -> "prep",
       "SPARK_GRAFT_SCALE_CONVS" -> nConv.toString,
-      "SPARK_GRAFT_SCALE_EDGES_DIR" -> edgesDir))
+      "SPARK_GRAFT_SCALE_EDGES_DIR" -> edgesDir,
+      "SPARK_GRAFT_SCALE_HEAP" ->
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_PREP_HEAP", "64g")),
+      gcArgs = Some(Seq("-XX:+UseG1GC", "-XX:+UnlockDiagnosticVMOptions",
+        "-XX:GCLockerRetryAllocationCount=64")))
     locally {
       // ALTERNATE the legs across several fresh-JVM forks: the sandbox VM
       // has multi-minute noisy windows (measured trials 3-4x apart within

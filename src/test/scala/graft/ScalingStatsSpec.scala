@@ -105,4 +105,23 @@ class ScalingStatsSpec extends AnyFunSuite {
     assert(j.contains("\"iters_per_sec_hi\":10.000")) // 1000/100
     assert(j.contains("\"scaling_efficiency\":1.000")) // raw 1.0 uncapped
   }
+
+  test("convergence gap: best-two fork medians per level; undefined -> null") {
+    // lo medians 400/380/420 -> best two 380,400 -> gap 400/380-1
+    val pr = PairResult(
+      loForks = Seq(fork(4, 3, Seq(400, 400, 400), 1.2),
+        fork(4, 3, Seq(380, 380, 380), 1.14),
+        fork(4, 3, Seq(420, 420, 420), 1.26)),
+      hiForks = Seq(fork(16, 3, Seq(100, 100, 100), 0.3)),
+      cpusLo = 4, cpusHi = 16)
+    assert(math.abs(pr.gapLo - (400.0 / 380.0 - 1.0)) < 1e-12)
+    // one hi fork -> gap undefined -> +inf in code, null in the JSON
+    assert(pr.gapHi.isInfinite)
+    val j = Scaling.json(pr)
+    assert(j.contains("\"conv_gap_lo\":0.0526"), j)
+    assert(j.contains("\"conv_gap_hi\":null"), j)
+    // per-fork trial counts are emitted (short redraws auditable)
+    assert(j.contains("\"fork_trials_lo\":[1,1,1]"), j)
+    assert(j.contains("\"fork_trials_hi\":[1]"), j)
+  }
 }
