@@ -654,7 +654,13 @@ object Scaling {
       // one fork), and running each level in one contiguous window would
       // hand whichever leg drew the noisy window a biased time.
       // Interleaving exposes both levels to the same noise distribution.
-      val forks = sys.env.getOrElse("SPARK_GRAFT_SCALE_FORKS", "4").toInt
+      // 3 base pairs (r4 ran 4): at the 10^9-directed-edge default graph a
+      // leg costs 370-470 s, so 4 base pairs ate the whole 3250 s bench
+      // deadline and left the convergence hunt ONE extra leg (measured:
+      // emitted unconverged at gaps ~13%). Base pairs sample both levels
+      // blindly; extras target exactly the unconverged level — at this
+      // leg cost the third pair's wall buys more convergence as extras.
+      val forks = sys.env.getOrElse("SPARK_GRAFT_SCALE_FORKS", "3").toInt
       // if the robust statistic still lands outside the credible band
       // after the base forks (e.g. a noisy window covered most of the
       // run), spend up to `maxExtra` more SINGLE-LEG forks hunting a
